@@ -1,0 +1,371 @@
+"""GZIP container (RFC-1952): headers, trailers, multi-member streams.
+
+Feature parity with the reference's gzip module (reference: src/gzip.rs):
+full header option surface (mtime, extra subfields, name, comment, header
+CRC-16, OS code, XFL), trailer CRC-32 + ISIZE verification, multi-member
+decoding, and an Encoder/Decoder streaming façade over the array-oriented
+one-shot API.
+"""
+from __future__ import annotations
+
+import io
+import struct
+import time
+from dataclasses import dataclass, field
+
+from .. import backend as _backend
+from ..spec import constants as C
+from ..utils.checksum import Crc32, crc32
+
+
+class GzipError(ValueError):
+    """Malformed gzip data (parity: io::ErrorKind::InvalidData)."""
+
+
+# ---------------------------------------------------------------------------
+# Extra field (parity: src/gzip.rs:466-541 ExtraField/ExtraSubField)
+# ---------------------------------------------------------------------------
+@dataclass
+class ExtraSubField:
+    id: bytes          # exactly 2 bytes
+    data: bytes
+
+    def __post_init__(self) -> None:
+        if len(self.id) != 2:
+            raise GzipError("extra subfield id must be 2 bytes")
+        if len(self.data) > 0xFFFF:
+            raise GzipError("extra subfield too long")
+
+    def encode(self) -> bytes:
+        return self.id + struct.pack("<H", len(self.data)) + self.data
+
+
+@dataclass
+class ExtraField:
+    subfields: list[ExtraSubField] = field(default_factory=list)
+
+    def encode(self) -> bytes:
+        return b"".join(s.encode() for s in self.subfields)
+
+    @classmethod
+    def decode(cls, raw: bytes) -> "ExtraField":
+        subs = []
+        pos = 0
+        while pos < len(raw):
+            if pos + 4 > len(raw):
+                raise GzipError("truncated gzip extra field")
+            sid = raw[pos:pos + 2]
+            (ln,) = struct.unpack_from("<H", raw, pos + 2)
+            pos += 4
+            if pos + ln > len(raw):
+                raise GzipError("truncated gzip extra subfield")
+            subs.append(ExtraSubField(sid, raw[pos:pos + ln]))
+            pos += ln
+        return cls(subs)
+
+
+# ---------------------------------------------------------------------------
+# Header (parity: src/gzip.rs:290-446 Header + :126-288 HeaderBuilder)
+# ---------------------------------------------------------------------------
+@dataclass
+class Header:
+    mtime: int = 0
+    os: int = C.GZIP_OS_UNIX
+    xfl: int = C.GZIP_XFL_UNKNOWN
+    is_text: bool = False
+    is_verified: bool = False      # FHCRC present
+    extra: ExtraField | None = None
+    filename: bytes | None = None
+    comment: bytes | None = None
+
+    def encode(self) -> bytes:
+        flags = 0
+        if self.is_text:
+            flags |= C.GZIP_FTEXT
+        if self.is_verified:
+            flags |= C.GZIP_FHCRC
+        if self.extra is not None:
+            flags |= C.GZIP_FEXTRA
+        if self.filename is not None:
+            flags |= C.GZIP_FNAME
+        if self.comment is not None:
+            flags |= C.GZIP_FCOMMENT
+        out = bytearray()
+        out += C.GZIP_MAGIC
+        out.append(C.GZIP_CM_DEFLATE)
+        out.append(flags)
+        out += struct.pack("<I", self.mtime & 0xFFFFFFFF)
+        out.append(self.xfl)
+        out.append(self.os)
+        if self.extra is not None:
+            payload = self.extra.encode()
+            out += struct.pack("<H", len(payload)) + payload
+        if self.filename is not None:
+            out += self.filename + b"\x00"
+        if self.comment is not None:
+            out += self.comment + b"\x00"
+        if self.is_verified:
+            # header CRC-16 = low 16 bits of CRC-32 of the header so far
+            # (parity: src/gzip.rs:356-367)
+            out += struct.pack("<H", crc32(bytes(out)) & 0xFFFF)
+        return bytes(out)
+
+    @classmethod
+    def decode(cls, data: bytes, pos: int = 0) -> tuple["Header", int]:
+        """Parse a header at ``pos``; returns (header, next_pos)."""
+        start = pos
+        if pos + 10 > len(data):
+            raise EOFError("truncated gzip header")
+        if data[pos:pos + 2] != C.GZIP_MAGIC:
+            raise GzipError(
+                f"unexpected gzip magic number: "
+                f"{data[pos:pos + 2].hex()} != 1f8b")
+        cm = data[pos + 2]
+        if cm != C.GZIP_CM_DEFLATE:
+            raise GzipError(f"compression method {cm} is unsupported "
+                            f"(only deflate=8)")
+        flags = data[pos + 3]
+        (mtime,) = struct.unpack_from("<I", data, pos + 4)
+        xfl = data[pos + 8]
+        os_code = data[pos + 9]
+        pos += 10
+        extra = None
+        if flags & C.GZIP_FEXTRA:
+            if pos + 2 > len(data):
+                raise EOFError("truncated gzip extra length")
+            (xlen,) = struct.unpack_from("<H", data, pos)
+            pos += 2
+            if pos + xlen > len(data):
+                raise EOFError("truncated gzip extra field")
+            extra = ExtraField.decode(data[pos:pos + xlen])
+            pos += xlen
+        filename = None
+        if flags & C.GZIP_FNAME:
+            end = data.find(b"\x00", pos)
+            if end < 0:
+                raise EOFError("unterminated gzip filename")
+            filename = data[pos:end]
+            pos = end + 1
+        comment = None
+        if flags & C.GZIP_FCOMMENT:
+            end = data.find(b"\x00", pos)
+            if end < 0:
+                raise EOFError("unterminated gzip comment")
+            comment = data[pos:end]
+            pos = end + 1
+        is_verified = bool(flags & C.GZIP_FHCRC)
+        if is_verified:
+            if pos + 2 > len(data):
+                raise EOFError("truncated gzip header crc")
+            (hcrc,) = struct.unpack_from("<H", data, pos)
+            expected = crc32(data[start:pos]) & 0xFFFF
+            pos += 2
+            if hcrc != expected:
+                raise GzipError(
+                    f"gzip header CRC mismatch: {hcrc:#06x} != {expected:#06x}")
+        return cls(mtime=mtime, os=os_code, xfl=xfl,
+                   is_text=bool(flags & C.GZIP_FTEXT),
+                   is_verified=is_verified, extra=extra,
+                   filename=filename, comment=comment), pos
+
+
+class HeaderBuilder:
+    """Builder mirroring the reference's HeaderBuilder (src/gzip.rs:126-288)."""
+
+    def __init__(self) -> None:
+        self._h = Header(mtime=int(time.time()))
+
+    def mtime(self, t: int) -> "HeaderBuilder":
+        self._h.mtime = t
+        return self
+
+    def os(self, os_code: int) -> "HeaderBuilder":
+        self._h.os = os_code
+        return self
+
+    def text(self) -> "HeaderBuilder":
+        self._h.is_text = True
+        return self
+
+    def verify(self) -> "HeaderBuilder":
+        self._h.is_verified = True
+        return self
+
+    def extra_field(self, extra: ExtraField) -> "HeaderBuilder":
+        self._h.extra = extra
+        return self
+
+    def filename(self, name: bytes) -> "HeaderBuilder":
+        self._h.filename = name
+        return self
+
+    def comment(self, comment: bytes) -> "HeaderBuilder":
+        self._h.comment = comment
+        return self
+
+    def finish(self) -> Header:
+        return self._h
+
+
+# ---------------------------------------------------------------------------
+# Trailer (parity: src/gzip.rs:95-122)
+# ---------------------------------------------------------------------------
+@dataclass
+class Trailer:
+    crc32: int
+    input_size: int    # ISIZE: uncompressed length mod 2^32
+
+    def encode(self) -> bytes:
+        return struct.pack("<II", self.crc32, self.input_size & 0xFFFFFFFF)
+
+    @classmethod
+    def decode(cls, data: bytes, pos: int) -> tuple["Trailer", int]:
+        if pos + 8 > len(data):
+            raise EOFError("truncated gzip trailer")
+        c, isize = struct.unpack_from("<II", data, pos)
+        return cls(c, isize), pos + 8
+
+
+# ---------------------------------------------------------------------------
+# One-shot API (array-in / array-out; the TPU-idiomatic core)
+# ---------------------------------------------------------------------------
+def compress(data: bytes, options=None, header: Header | None = None,
+             engine: str | None = None) -> bytes:
+    """Compress ``data`` into a single-member gzip stream."""
+    eng = _backend.get(engine)
+    hdr = header or Header(mtime=0)
+    body = eng.deflate(data, options)
+    trailer = Trailer(eng.crc32(data), len(data))
+    return hdr.encode() + bytes(body) + trailer.encode()
+
+
+@dataclass
+class Member:
+    header: Header
+    data: bytes
+    trailer: Trailer
+    end_pos: int
+
+
+def decompress_member(data: bytes, pos: int = 0,
+                      engine: str | None = None,
+                      verify: bool = True) -> Member:
+    """Decode one gzip member starting at byte ``pos``."""
+    eng = _backend.get(engine)
+    header, body_pos = Header.decode(data, pos)
+    result = eng.inflate(data[body_pos:])
+    out = bytes(result.data)
+    end_byte = body_pos + (result.end_bit + 7) // 8
+    trailer, end_pos = Trailer.decode(data, end_byte)
+    if verify:
+        actual = eng.crc32(out)
+        if actual != trailer.crc32:
+            raise GzipError(
+                f"gzip CRC mismatch: stream says {trailer.crc32:#010x}, "
+                f"computed {actual:#010x}")
+        if trailer.input_size != len(out) & 0xFFFFFFFF:
+            raise GzipError(
+                f"gzip ISIZE mismatch: {trailer.input_size} != {len(out)}")
+    return Member(header, out, trailer, end_pos)
+
+
+def decompress(data: bytes, engine: str | None = None,
+               multi: bool = False) -> bytes:
+    """Decompress a gzip stream.
+
+    With ``multi=True`` decodes all concatenated members
+    (parity: MultiDecoder src/gzip.rs:1052-1167); otherwise one member.
+    """
+    member = decompress_member(data, 0, engine)
+    if not multi:
+        return member.data
+    out = bytearray(member.data)
+    pos = member.end_pos
+    while pos < len(data):
+        member = decompress_member(data, pos, engine)
+        out += member.data
+        pos = member.end_pos
+    return bytes(out)
+
+
+def decompress_members(data: bytes, engine: str | None = None) -> list[Member]:
+    """Decode all members, preserving per-member structure."""
+    members = []
+    pos = 0
+    while pos < len(data):
+        m = decompress_member(data, pos, engine)
+        members.append(m)
+        pos = m.end_pos
+    return members
+
+
+# ---------------------------------------------------------------------------
+# Streaming façade (parity: gzip::{Encoder, Decoder, MultiDecoder})
+# ---------------------------------------------------------------------------
+class Encoder:
+    """Streaming gzip encoder over a file-like or bytes sink.
+
+    Collects writes, runs the array pipeline at ``finish()``.  Matches the
+    reference Encoder's surface (write/finish, header options —
+    src/gzip.rs:754-908) without its per-call streaming internals, which
+    do not map to a TPU execution model.
+    """
+
+    def __init__(self, sink=None, options=None, header: Header | None = None,
+                 engine: str | None = None) -> None:
+        self._sink = sink if sink is not None else io.BytesIO()
+        self._buf = bytearray()
+        self._options = options
+        self._header = header or Header(mtime=0)
+        self._engine = engine
+        self._finished = False
+
+    def write(self, data: bytes) -> int:
+        if self._finished:
+            raise ValueError("write after finish")
+        self._buf += data
+        return len(data)
+
+    def finish(self):
+        if not self._finished:
+            self._finished = True
+            out = compress(bytes(self._buf), self._options, self._header,
+                           self._engine)
+            self._sink.write(out)
+        return self._sink
+
+    def getvalue(self) -> bytes:
+        self.finish()
+        return self._sink.getvalue()
+
+
+class Decoder:
+    """Streaming single-member gzip decoder (read-style façade)."""
+
+    def __init__(self, data: bytes, engine: str | None = None) -> None:
+        self._member = decompress_member(bytes(data), 0, engine)
+        self._view = memoryview(self._member.data)
+        self._pos = 0
+
+    @property
+    def header(self) -> Header:
+        return self._member.header
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = len(self._view) - self._pos
+        out = bytes(self._view[self._pos:self._pos + n])
+        self._pos += len(out)
+        return out
+
+
+class MultiDecoder(Decoder):
+    """Concatenated-member gzip decoder (parity: src/gzip.rs:1052-1167)."""
+
+    def __init__(self, data: bytes, engine: str | None = None) -> None:
+        members = decompress_members(bytes(data), engine)
+        self._member = members[0]
+        self._members = members
+        joined = b"".join(m.data for m in members)
+        self._view = memoryview(joined)
+        self._pos = 0

@@ -1,0 +1,253 @@
+"""ZLIB container (RFC-1950): CMF/FLG header, Adler-32 trailer, sync flush.
+
+Feature parity with the reference's zlib module (reference: src/zlib.rs):
+header validation (method, CINFO, FCHECK, FDICT rejection), window-size
+enum, compression-level FLEVEL bits, big-endian Adler-32 trailer
+verification, and FlushMode::Sync semantics.
+"""
+from __future__ import annotations
+
+import enum
+import io
+import struct
+from dataclasses import dataclass
+
+from .. import backend as _backend
+from ..spec import constants as C
+from ..serial.bitio import BitWriter
+from ..serial.deflate import sync_flush_marker
+
+
+class ZlibError(ValueError):
+    """Malformed zlib data (parity: io::ErrorKind::InvalidData)."""
+
+
+class Lz77WindowSize(enum.IntEnum):
+    """CINFO window sizes (parity: src/zlib.rs:74-174)."""
+    B256 = 0
+    B512 = 1
+    KB1 = 2
+    KB2 = 3
+    KB4 = 4
+    KB8 = 5
+    KB16 = 6
+    KB32 = 7
+
+    def byte_size(self) -> int:
+        return 1 << (self + 8)
+
+    @classmethod
+    def from_window_size(cls, size: int) -> "Lz77WindowSize":
+        for ws in cls:
+            if size <= ws.byte_size():
+                return ws
+        raise ZlibError(f"window size {size} too large")
+
+
+class FlushMode(enum.Enum):
+    """Parity: src/zlib.rs:185-195."""
+    NONE = "none"
+    SYNC = "sync"
+
+
+class CompressionLevel(enum.IntEnum):
+    """FLEVEL bits (RFC-1950 §2.2)."""
+    FASTEST = 0
+    FAST = 1
+    DEFAULT = 2
+    SLOWEST = 3
+
+
+@dataclass
+class Header:
+    window_size: Lz77WindowSize = Lz77WindowSize.KB32
+    level: CompressionLevel = CompressionLevel.DEFAULT
+
+    def encode(self) -> bytes:
+        cmf = (int(self.window_size) << 4) | C.ZLIB_CM_DEFLATE
+        flg = int(self.level) << 6
+        fcheck = (31 - (cmf * 256 + flg) % 31) % 31
+        flg |= fcheck
+        assert (cmf * 256 + flg) % 31 == 0
+        return bytes([cmf, flg])
+
+    @classmethod
+    def decode(cls, data: bytes, pos: int = 0) -> tuple["Header", int]:
+        if pos + 2 > len(data):
+            raise EOFError("truncated zlib header")
+        cmf, flg = data[pos], data[pos + 1]
+        method = cmf & 0x0F
+        if method != C.ZLIB_CM_DEFLATE:
+            raise ZlibError(
+                f"compression method {method} is unsupported (only deflate=8)")
+        cinfo = cmf >> 4
+        if cinfo > 7:
+            raise ZlibError(f"CINFO {cinfo} exceeds maximum 7")
+        if (cmf * 256 + flg) % 31 != 0:
+            raise ZlibError("zlib header FCHECK failed")
+        if flg & 0x20:
+            raise ZlibError("preset dictionaries (FDICT) are unsupported")
+        return cls(Lz77WindowSize(cinfo), CompressionLevel(flg >> 6)), pos + 2
+
+
+# ---------------------------------------------------------------------------
+# One-shot API
+# ---------------------------------------------------------------------------
+def compress(data: bytes, options=None, header: Header | None = None,
+             engine: str | None = None) -> bytes:
+    eng = _backend.get(engine)
+    hdr = header or Header()
+    body = eng.deflate(data, options)
+    adler = eng.adler32(data)
+    return hdr.encode() + bytes(body) + struct.pack(">I", adler)
+
+
+@dataclass
+class Decoded:
+    header: Header
+    data: bytes
+    adler32: int
+    end_pos: int
+
+
+def decompress_stream(data: bytes, pos: int = 0, engine: str | None = None,
+                      verify: bool = True) -> Decoded:
+    eng = _backend.get(engine)
+    header, body_pos = Header.decode(data, pos)
+    result = eng.inflate(data[body_pos:])
+    out = bytes(result.data)
+    end_byte = body_pos + (result.end_bit + 7) // 8
+    if end_byte + 4 > len(data):
+        raise EOFError("truncated zlib trailer")
+    (adler,) = struct.unpack_from(">I", data, end_byte)
+    if verify:
+        actual = eng.adler32(out)
+        if actual != adler:
+            raise ZlibError(
+                f"zlib Adler-32 mismatch: stream says {adler:#010x}, "
+                f"computed {actual:#010x}")
+    return Decoded(header, out, adler, end_byte + 4)
+
+
+def decompress(data: bytes, engine: str | None = None) -> bytes:
+    return decompress_stream(data, 0, engine).data
+
+
+# ---------------------------------------------------------------------------
+# Streaming façade (parity: zlib::{Encoder, Decoder} src/zlib.rs:284-681)
+# ---------------------------------------------------------------------------
+class Encoder:
+    """Streaming zlib encoder with FlushMode support.
+
+    ``flush()`` under FlushMode.SYNC compresses buffered input as a
+    non-final segment and appends the ``00 00 FF FF`` sync marker
+    (parity: src/zlib.rs:666-671 + src/deflate/encode.rs:225-234).
+    """
+
+    def __init__(self, sink=None, options=None, header: Header | None = None,
+                 flush_mode: FlushMode = FlushMode.NONE,
+                 engine: str | None = None) -> None:
+        self._sink = sink if sink is not None else io.BytesIO()
+        self._buf = bytearray()
+        self._options = options
+        self._flush_mode = flush_mode
+        self._engine = engine
+        self._finished = False
+        self._header_written = False
+        self._header = header or Header()
+        self._adler = 1
+        self._segments: list[bytes] = []
+
+    def _ensure_header(self) -> None:
+        if not self._header_written:
+            self._sink.write(self._header.encode())
+            self._header_written = True
+
+    def write(self, data: bytes) -> int:
+        if self._finished:
+            raise ValueError("write after finish")
+        self._buf += data
+        return len(data)
+
+    def flush(self) -> None:
+        """Sync-flush: emit buffered data as non-final blocks + marker."""
+        if self._flush_mode is not FlushMode.SYNC or self._finished:
+            return
+        self._ensure_header()
+        eng = _backend.get(self._engine)
+        data = bytes(self._buf)
+        self._buf.clear()
+        self._adler = eng.adler32(data, self._adler)
+        self._sink.write(_deflate_nonfinal(eng, data, self._options))
+
+    def finish(self):
+        if not self._finished:
+            self._finished = True
+            self._ensure_header()
+            eng = _backend.get(self._engine)
+            data = bytes(self._buf)
+            self._adler = eng.adler32(data, self._adler)
+            body = eng.deflate(data, self._options)
+            self._sink.write(bytes(body) + struct.pack(">I", self._adler))
+        return self._sink
+
+    def getvalue(self) -> bytes:
+        self.finish()
+        return self._sink.getvalue()
+
+
+def _deflate_nonfinal(eng, data: bytes, options) -> bytes:
+    """Compress ``data`` as non-final DEFLATE blocks + a sync-flush marker.
+
+    The marker shares the body's bit writer: the empty stored block's
+    3 header bits must directly follow the last body bit, and its own
+    byte-alignment guarantees the returned segment ends on a byte
+    boundary, so sync-flushed segments concatenate into one valid stream.
+    """
+    del eng  # the flush path is host-side; serial blocks are fine here
+    from ..serial.bitio import BitWriter as _BW
+    from ..serial.deflate import EncodeOptions, _write_compressed
+    opts = options or EncodeOptions()
+    w = _BW()
+    if opts.block_type == "stored":
+        pos = 0
+        while pos < len(data):
+            chunk = data[pos:pos + C.MAX_STORED_BLOCK]
+            pos += len(chunk)
+            w.write_bits(0, 1)
+            w.write_bits(C.BTYPE_STORED, 2)
+            w.align_byte()
+            ln = len(chunk)
+            w.write_bits(ln, 16)
+            w.write_bits(ln ^ 0xFFFF, 16)
+            w.write_bytes(chunk)
+    else:
+        pos = 0
+        while pos < len(data):
+            chunk = data[pos:pos + opts.block_size]
+            pos += len(chunk)
+            tokens = opts.tokenize(chunk)
+            _write_compressed(w, tokens, opts.block_type == "dynamic",
+                              final=False)
+    sync_flush_marker(w)
+    return w.getvalue()
+
+
+class Decoder:
+    """Streaming zlib decoder façade."""
+
+    def __init__(self, data: bytes, engine: str | None = None) -> None:
+        self._decoded = decompress_stream(bytes(data), 0, engine)
+        self._view = memoryview(self._decoded.data)
+        self._pos = 0
+
+    @property
+    def header(self) -> Header:
+        return self._decoded.header
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = len(self._view) - self._pos
+        out = bytes(self._view[self._pos:self._pos + n])
+        self._pos += len(out)
+        return out

@@ -1,0 +1,52 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests never require TPU hardware; multi-chip sharding is validated on
+host-platform virtual devices (the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import random
+import zlib as pyzlib
+
+import pytest
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return DATA_DIR
+
+
+def _corpus() -> list[bytes]:
+    rng = random.Random(1234)
+    return [
+        b"",
+        b"a",
+        b"Hello World!",
+        b"aaaaaaaaaaaaaaaaaaaa",
+        b"abcabcabcabcabcabc" * 40,
+        bytes(rng.randrange(256) for _ in range(4096)),
+        (b"The quick brown fox jumps over the lazy dog. " * 150),
+        bytes(rng.randrange(4) for _ in range(10000)),     # low entropy
+        b"\x00" * 5000,
+    ]
+
+
+@pytest.fixture(scope="session")
+def corpus() -> list[bytes]:
+    return _corpus()
+
+
+@pytest.fixture(scope="session")
+def zlib_oracle():
+    """Python stdlib zlib as the byte-exactness interop oracle."""
+    return pyzlib
