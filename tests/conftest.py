@@ -6,7 +6,10 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# neutralize the axon TPU-tunnel sitecustomize (it force-registers the
+# remote TPU backend and costs minutes of startup); tests are CPU-only
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
