@@ -1,0 +1,277 @@
+"""Device (JAX) DEFLATE decoder: batched symbol scan + parallel expansion.
+
+TPU-first decomposition of the reference's decode hot loop
+(reference: src/deflate/decode.rs:112-130 + huffman.rs:157-179):
+
+* **Symbol scan** — the bit cursor is inherently serial *within* a
+  stream, so throughput comes from decoding MANY independent streams in
+  lockstep: one `lax.scan` step decodes one symbol per stream across the
+  whole batch (flat-table peek→lookup→consume, branchless selects for
+  literal/length/distance/EOB).  Batch-of-blocks is the TPU analog of
+  the reference's single-stream loop.
+* **LZ77 expansion** — instead of the sequential overlapping-copy
+  (reference: libflate_lz77/src/lib.rs:164-194 rle_decode), every output
+  position gets a *source pointer* (itself for literals, `j - dist` for
+  copies); pointer-doubling resolves all chains in log₂(n) gather
+  rounds, then one gather materializes the bytes.  Overlapping RLE
+  copies are just chains through the same literal.
+
+Tables are built on-device by ops.huffman.decode_table from code lengths
+(header parsing is a host/native concern — headers are ~100 bytes).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import constants as C
+from .huffman import decode_table
+
+_LEN_BASE = jnp.asarray(C.LENGTH_BASE)
+_LEN_EXTRA = jnp.asarray(C.LENGTH_EXTRA)
+_DIST_BASE = jnp.asarray(C.DIST_BASE)
+_DIST_EXTRA = jnp.asarray(C.DIST_EXTRA)
+
+
+def _peek(words: jnp.ndarray, pos: jnp.ndarray, nbits: int = 15
+          ) -> jnp.ndarray:
+    """Read ``nbits`` LSB-first bits at absolute bit offset ``pos``."""
+    w = pos >> 5
+    sh = (pos & 31).astype(jnp.uint32)
+    lo = words[w] >> sh
+    hi = (words[w + 1] << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+    return ((lo | hi) & ((1 << nbits) - 1)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tokens",))
+def decode_symbols(words: jnp.ndarray, start_bit: jnp.ndarray,
+                   lit_table: jnp.ndarray, dist_table: jnp.ndarray,
+                   max_tokens: int):
+    """Batched symbol decode.
+
+    Args:
+        words: (B, W) uint32 — compressed bits per stream (2+ words of
+            zero padding required past each stream's end).
+        start_bit: (B,) int32 — bit offset of the first symbol.
+        lit_table: (B, 2^15) int32 decode table (sym<<4|width).
+        dist_table: (B, 2^15) int32.
+        max_tokens: static scan length.
+
+    Returns:
+        (a, b, n_tokens, end_bit, err): token arrays (B, max_tokens),
+        counts, bit offset just past EOB, error flags.
+    """
+    bsz = words.shape[0]
+
+    def step(carry, _):
+        pos, done, err = carry
+
+        def per_stream(wrds, p, lt, dt):
+            e = lt[_peek(wrds, p)]
+            width = e & 15
+            sym = e >> 4
+            bad = width == 0
+            p1 = p + width
+            is_len = sym > 256
+            li = jnp.clip(sym - 257, 0, 28)
+            nb = _LEN_EXTRA[li]
+            extra = _peek(wrds, p1) & ((1 << nb) - 1)
+            length = _LEN_BASE[li] + extra
+            p2 = p1 + jnp.where(is_len, nb, 0)
+            de = dt[_peek(wrds, p2)]
+            dwidth = de & 15
+            dsym = jnp.clip(de >> 4, 0, 29)
+            dbad = is_len & (dwidth == 0)
+            p3 = p2 + jnp.where(is_len, dwidth, 0)
+            dnb = _DIST_EXTRA[dsym]
+            dextra = _peek(wrds, p3) & ((1 << dnb) - 1)
+            dist = _DIST_BASE[dsym] + dextra
+            p4 = p3 + jnp.where(is_len, dnb, 0)
+            a = jnp.where(is_len, length, sym)
+            b = jnp.where(is_len, dist, 0)
+            return a, b, p4, sym == 256, bad | dbad
+
+        a, b, new_pos, is_eob, bad = jax.vmap(per_stream)(
+            words, pos, lit_table, dist_table)
+        active = ~(done | err)
+        emit_valid = active & ~is_eob & ~bad
+        pos = jnp.where(active, new_pos, pos)
+        err = err | (active & bad)
+        done = done | (active & is_eob)
+        return (pos, done, err), (jnp.where(emit_valid, a, 0),
+                                  jnp.where(emit_valid, b, 0),
+                                  emit_valid)
+
+    init = (start_bit.astype(jnp.int32),
+            jnp.zeros((bsz,), jnp.bool_), jnp.zeros((bsz,), jnp.bool_))
+    (end_pos, done, err), (aa, bb, vv) = jax.lax.scan(
+        step, init, None, length=max_tokens)
+    a = jnp.transpose(aa)                      # (B, T)
+    b = jnp.transpose(bb)
+    n_tokens = jnp.sum(vv.astype(jnp.int32), axis=0)
+    err = err | ~done                          # ran out of steps: error
+    return a, b, n_tokens, end_pos, err
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "hist_cap"))
+def expand_tokens_device(a: jnp.ndarray, b: jnp.ndarray,
+                         n_tokens: jnp.ndarray, out_cap: int,
+                         history: jnp.ndarray | None = None,
+                         hist_len: jnp.ndarray | None = None,
+                         hist_cap: int = 0):
+    """Parallel LZ77 expansion: (B, T) tokens → (B, out_cap) bytes.
+
+    ``history`` (B, hist_cap) supplies up to 32 KiB of previously decoded
+    bytes (right-aligned: history[:, hist_cap-hist_len:] is valid) so
+    cross-block back-references resolve (parity: the reference's
+    Lz77Decoder keeps the last 32 KiB — libflate_lz77/src/lib.rs:219-231).
+
+    Returns (out, n_out, err) — err flags distance-exceeds-history and
+    output-overflow conditions per block.
+    """
+    bsz = a.shape[0]
+    if history is None:
+        history = jnp.zeros((bsz, 0), jnp.uint8)
+        hist_len = jnp.zeros((bsz,), jnp.int32)
+        hist_cap = 0
+
+    def one(av, bv, nt, hist, hl):
+        t = av.shape[0]
+        h = hist_cap
+        tidx = jnp.arange(t, dtype=jnp.int32)
+        valid = tidx < nt
+        is_match = valid & (bv > 0)
+        lens = jnp.where(valid, jnp.where(is_match, av, 1), 0)
+        ends = jnp.cumsum(lens)
+        starts = ends - lens
+        n_out = ends[-1] if t else jnp.int32(0)
+        overflow = n_out > out_cap
+
+        # token id per output position: mark starts, inclusive cumsum
+        marks = jnp.zeros((out_cap,), jnp.int32).at[
+            jnp.clip(starts, 0, out_cap - 1)].add(
+            jnp.where(valid, 1, 0))
+        token_id = jnp.clip(jnp.cumsum(marks) - 1, 0, t - 1)
+
+        # work in a combined coordinate space: [0, h) history, [h, ...) new
+        j = jnp.arange(out_cap, dtype=jnp.int32) + h
+        tok_is_match = is_match[token_id]
+        dist = jnp.where(tok_is_match, bv[token_id], 0)
+        bad_dist = tok_is_match & (dist > j - h + hl) & (j - h < n_out)
+        src_new = jnp.where(tok_is_match, j - dist, j)
+        lit_new = jnp.where(tok_is_match, 0, av[token_id]).astype(jnp.uint8)
+
+        if h:
+            # history positions are pre-resolved literal roots
+            src = jnp.concatenate([jnp.arange(h, dtype=jnp.int32), src_new])
+            lit = jnp.concatenate([hist, lit_new])
+        else:
+            src, lit = src_new, lit_new
+        src = jnp.clip(src, 0, h + out_cap - 1)
+
+        # pointer doubling to the literal root (fori_loop keeps the
+        # graph small; XLA unrolling 16 chained gathers compiles slowly)
+        rounds = max(1, (h + out_cap).bit_length())
+        p = jax.lax.fori_loop(0, rounds, lambda _, pp: pp[pp], src)
+        out = lit[p][h:]
+        err = overflow | jnp.any(bad_dist)
+        return out, jnp.minimum(n_out, out_cap), err
+
+    return jax.vmap(one)(a, b, n_tokens, history, hist_len)
+
+
+# ---------------------------------------------------------------------------
+# Table construction from code lengths (device)
+# ---------------------------------------------------------------------------
+def tables_from_lengths(lit_lengths: jnp.ndarray,
+                        dist_lengths: jnp.ndarray):
+    """Batched (B, 286)/(B, 30) lengths → (B, 2^15) decode tables.
+
+    Streams with an empty distance alphabet get an all-invalid distance
+    table — any pointer then raises the error flag (parity:
+    src/deflate/decode.rs pointer-with-no-distance-table error).
+    """
+    lit = jax.vmap(lambda l: decode_table(l, C.MAX_BITWIDTH))(lit_lengths)
+    dist = jax.vmap(lambda l: decode_table(l, C.MAX_BITWIDTH))(dist_lengths)
+    return lit, dist
+
+
+# ---------------------------------------------------------------------------
+# Host-orchestrated full inflate (foreign or own streams)
+# ---------------------------------------------------------------------------
+def _bytes_to_words(data: bytes) -> np.ndarray:
+    pad = (-len(data)) % 4 + 8
+    arr = np.frombuffer(bytes(data) + b"\x00" * pad, np.uint8)
+    return arr.view("<u4")
+
+
+def inflate_device(data: bytes, out_cap: int | None = None):
+    """Decode a complete raw DEFLATE stream, device compute per block.
+
+    Host parses block headers (byte-scale work); the device decodes
+    symbols and expands matches.  Blocks are processed sequentially
+    (block k+1's position depends on block k's EOB) — the batched fast
+    path for independent members lives in inflate_members_device.
+    """
+    from ..serial.bitio import BitReader
+    from ..serial.deflate import DeflateError, InflateResult, \
+        read_dynamic_header_lengths
+
+    words_np = _bytes_to_words(data)
+    words = jnp.asarray(words_np)
+    out = bytearray()
+    r = BitReader(bytes(data))
+    while True:
+        final = r.read_bits(1)
+        btype = r.read_bits(2)
+        if btype == C.BTYPE_STORED:
+            r.align_byte()
+            ln = r.read_bits(16)
+            nlen = r.read_bits(16)
+            if ln != (nlen ^ 0xFFFF):
+                raise DeflateError("stored block LEN/NLEN mismatch")
+            out += r.read_bytes(ln)
+        else:
+            if btype == C.BTYPE_FIXED:
+                lit_l = np.asarray(C.fixed_litlen_lengths(), np.int32)
+                dist_l = np.asarray(C.fixed_dist_lengths(), np.int32)
+            elif btype == C.BTYPE_DYNAMIC:
+                lit_l, dist_l = read_dynamic_header_lengths(r)
+            else:
+                raise DeflateError("reserved block type 0b11")
+            start = r.bit_position
+            lit_t, dist_t = tables_from_lengths(
+                jnp.asarray(lit_l)[None, :], jnp.asarray(dist_l)[None, :])
+            cap = out_cap or max(1 << 16, 4 * len(data) + 1024)
+            max_tokens = cap + 1
+            a, b, nt, end_bit, err = decode_symbols(
+                words[None, :], jnp.asarray([start], jnp.int32),
+                lit_t, dist_t, max_tokens)
+            if bool(err[0]):
+                raise DeflateError("invalid Huffman code in stream")
+            hist_cap = C.WINDOW_SIZE
+            hist = np.zeros((1, hist_cap), np.uint8)
+            tail = bytes(out[-hist_cap:])
+            if tail:
+                hist[0, hist_cap - len(tail):] = np.frombuffer(tail,
+                                                               np.uint8)
+            chunk, n_out, xerr = expand_tokens_device(
+                a, b, nt, cap, jnp.asarray(hist),
+                jnp.asarray([len(tail)], jnp.int32), hist_cap)
+            if bool(xerr[0]):
+                raise DeflateError(
+                    "back-pointer distance exceeds decoded history "
+                    "or output overflow")
+            piece = np.asarray(chunk[0])[: int(n_out[0])]
+            out += piece.tobytes()
+            r = BitReader(bytes(data))
+            r_state_bits = int(end_bit[0])
+            r.byte_pos = r_state_bits // 8
+            drop = r_state_bits % 8
+            if drop:
+                r.read_bits(drop)
+        if final:
+            return InflateResult(out, r.bit_position)

@@ -1,0 +1,118 @@
+"""End-to-end device DEFLATE pipelines + the "tpu" backend engine.
+
+Encode: bytes → fixed-size independent blocks (data-parallel axis) →
+vmapped tokenize (ops.lz77) → vmapped entropy encode (ops.deflate_encode)
+→ host bit-splice.  Every block is a self-contained DEFLATE block (the
+reference's per-flush LZ77 reset — libflate_lz77/src/default.rs:69-109 —
+proves per-block independence; SURVEY.md §2.3.1), so blocks scale across
+lanes, cores and chips without cross-talk.
+
+The number of blocks is padded to the next power of two to bound XLA
+recompilations across input sizes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import constants as C
+from .deflate_encode import encode_block, splice_blocks_host
+from .lz77 import tokenize_block
+
+#: device-side block size: large enough to amortize per-block tables,
+#: small enough to expose parallelism (and bound sort sizes)
+DEVICE_BLOCK_SIZE = 64 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("block_type",))
+def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                  bfinal: jnp.ndarray, block_type: str):
+    """(B, n) uint8 blocks → (B, W) uint32 words + (B,) bit counts."""
+    n = blocks.shape[1]
+
+    def one(block, nv, bf):
+        a, b, cnt = tokenize_block(block, nv, n + 1)
+        return encode_block(a, b, cnt, bf, block_type)
+
+    return jax.vmap(one)(blocks, n_valid, bfinal)
+
+
+@functools.partial(jax.jit, static_argnames=("block_type",))
+def _encode_batch_literal(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                          bfinal: jnp.ndarray, block_type: str):
+    """Literal-only (no LZ77) batch encode — parity with matcher='none'."""
+    n = blocks.shape[1]
+
+    def one(block, nv, bf):
+        a = block.astype(jnp.int32)
+        b = jnp.zeros((n,), jnp.int32)
+        return encode_block(a, b, nv, bf, block_type)
+
+    return jax.vmap(one)(blocks, n_valid, bfinal)
+
+
+def deflate_device(data: bytes, options=None) -> bytes:
+    """Compress to a complete raw DEFLATE stream on the device."""
+    from ..serial.deflate import EncodeOptions
+    opts = options or EncodeOptions()
+    if opts.block_type == "stored":
+        from ..serial.deflate import deflate as _serial_deflate
+        return _serial_deflate(bytes(data), opts)
+
+    raw = np.frombuffer(bytes(data), np.uint8)
+    bs = min(opts.block_size, DEVICE_BLOCK_SIZE)
+    n_blocks = max(1, -(-len(raw) // bs))
+    b_pad = 1 << (n_blocks - 1).bit_length()
+
+    blocks = np.zeros((b_pad, bs), np.uint8)
+    n_valid = np.zeros((b_pad,), np.int32)
+    for i in range(n_blocks):
+        chunk = raw[i * bs:(i + 1) * bs]
+        blocks[i, :len(chunk)] = chunk
+        n_valid[i] = len(chunk)
+    bfinal = np.zeros((b_pad,), np.int32)
+    bfinal[n_blocks - 1] = 1
+
+    fn = (_encode_batch_literal if opts.matcher == "none"
+          else _encode_batch)
+    words, bits = fn(jnp.asarray(blocks), jnp.asarray(n_valid),
+                     jnp.asarray(bfinal), opts.block_type)
+    words = np.asarray(words[:n_blocks])
+    bits = np.asarray(bits[:n_blocks])
+    return splice_blocks_host(words, bits)
+
+
+def _register_engine() -> None:
+    from .. import backend
+    from ..serial import deflate as sd
+    from ..utils import checksum as ck
+    from .checksum import adler32_jax, crc32_jax
+
+    def _crc32(data, crc=0):
+        arr = jnp.asarray(np.frombuffer(bytes(data), np.uint8))
+        v = int(crc32_jax(arr))
+        if crc:
+            v = ck.crc32_combine(crc, v, len(data))
+        return v
+
+    def _adler32(data, adler=1):
+        arr = jnp.asarray(np.frombuffer(bytes(data), np.uint8))
+        v = int(adler32_jax(arr))
+        if adler != 1:
+            v = ck.adler32_combine(adler, v, len(data))
+        return v
+
+    backend.register(backend.Engine(
+        name="tpu",
+        deflate=lambda data, opts=None: deflate_device(bytes(data), opts),
+        # device inflate lands with ops.deflate_decode; serial meanwhile
+        inflate=lambda data: sd.inflate(bytes(data)),
+        crc32=_crc32,
+        adler32=_adler32,
+    ))
+
+
+_register_engine()

@@ -147,12 +147,10 @@ def write_dynamic_header(w: BitWriter, lit_lengths: np.ndarray,
         w.write_bits(extra, n_extra)
 
 
-def read_dynamic_header(r: BitReader) -> tuple[HuffmanDecoder, HuffmanDecoder]:
-    """Parse HLIT/HDIST/HCLEN and rebuild the two decoders.
-
-    Parity incl. validations: src/deflate/symbol.rs:387-457 (HDIST≤30 check,
-    over-long RLE expansion check, repeat-last across the lit/dist boundary).
-    """
+def read_dynamic_header_lengths(r: BitReader
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """Parse HLIT/HDIST/HCLEN + RLE'd code lengths; return padded
+    (286,)/(30,) int32 length arrays (device-table-ready)."""
     hlit = r.read_bits(5) + 257
     hdist = r.read_bits(5) + 1
     hclen = r.read_bits(4) + 4
@@ -194,10 +192,22 @@ def read_dynamic_header(r: BitReader) -> tuple[HuffmanDecoder, HuffmanDecoder]:
             if i + run > total:
                 raise DeflateError("code-length repeat overflows table")
             i += run
-    lit_lengths = lengths[:hlit]
-    dist_lengths = lengths[hlit:]
-    if lit_lengths[C.END_OF_BLOCK] == 0:
+    lit = np.zeros(C.MAX_LITLEN_SYMBOLS, dtype=np.int32)
+    lit[:hlit] = lengths[:hlit]
+    dist = np.zeros(C.MAX_DIST_SYMBOLS, dtype=np.int32)
+    dist[:hdist] = lengths[hlit:]
+    if lit[C.END_OF_BLOCK] == 0:
         raise DeflateError("end-of-block symbol has no code")
+    return lit, dist
+
+
+def read_dynamic_header(r: BitReader) -> tuple[HuffmanDecoder, HuffmanDecoder]:
+    """Parse HLIT/HDIST/HCLEN and rebuild the two decoders.
+
+    Parity incl. validations: src/deflate/symbol.rs:387-457 (HDIST≤30 check,
+    over-long RLE expansion check, repeat-last across the lit/dist boundary).
+    """
+    lit_lengths, dist_lengths = read_dynamic_header_lengths(r)
     try:
         lit_dec = HuffmanDecoder(lit_lengths)
         if np.any(dist_lengths):
