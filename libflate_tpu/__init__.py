@@ -15,6 +15,11 @@ from .finish import AutoFinish, AutoFinishUnchecked, Finish
 from .formats import deflate, gzip, zlib
 from . import lz77
 
+try:                                    # native C++ host engine (optional)
+    from .native import engine as _native_engine  # noqa: F401
+except Exception:                       # pragma: no cover - toolchain absent
+    pass
+
 __version__ = "0.1.0"
 
 __all__ = [

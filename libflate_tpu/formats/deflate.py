@@ -69,9 +69,19 @@ class Decoder:
             self._result = _backend.get(engine).inflate(bytes(data))
             self._data = bytes(self._result.data)
         except (DeflateError, EOFError) as e:
-            # salvage whatever decoded cleanly before the error
+            # salvage whatever decoded cleanly before the error; the
+            # serial engine attaches .partial — fall back to it when a
+            # faster engine errored without one
             self._error = e
-            self._data = bytes(getattr(e, "partial", b""))
+            partial = getattr(e, "partial", None)
+            if partial is None:
+                from ..serial.deflate import inflate as _serial_inflate
+                try:
+                    _serial_inflate(bytes(data))
+                    partial = b""
+                except Exception as se:
+                    partial = getattr(se, "partial", b"")
+            self._data = bytes(partial)
         self._pos = 0
 
     def read(self, n: int = -1) -> bytes:

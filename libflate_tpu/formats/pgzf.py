@@ -1,0 +1,257 @@
+"""PGZF — parallel gzip: multi-member gzip with a member-size index.
+
+The TPU framework's scale-out container.  Input is split into fixed-size
+chunks; every chunk becomes an independent, fully standard gzip member
+whose header carries an EXTRA subfield (id ``b"LF"``, payload = u32 LE
+total member byte length).  Properties:
+
+* **100% gzip-compatible** — any stock tool (or the reference's
+  MultiDecoder, src/gzip.rs:1052-1167) decodes a PGZF stream unchanged;
+  the index subfield rides the standard FEXTRA mechanism
+  (≙ ExtraField, src/gzip.rs:466-541).  Same trick as htslib's BGZF.
+* **Boundary discovery without decoding** — member starts are found by
+  jumping sizes, so decode parallelizes across members (chips, cores,
+  lanes) with zero speculation.
+* **Per-member CRC/ISIZE** keeps fault isolation: a corrupt shard is
+  detected and reported by member index.
+
+Encode: members are tokenized + entropy-coded as one batched device
+call; CRCs are computed by the batched GF(2) kernel; headers/trailers
+are assembled on the host (byte-scale work).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..spec import constants as C
+from . import gzip as fgzip
+
+INDEX_ID = b"LF"
+DEFAULT_MEMBER_SIZE = 64 * 1024
+
+
+def _member_header(member_len_placeholder: int, mtime: int = 0) -> bytes:
+    extra = fgzip.ExtraField([fgzip.ExtraSubField(
+        INDEX_ID, struct.pack("<I", member_len_placeholder))])
+    hdr = fgzip.Header(mtime=mtime, os=C.GZIP_OS_UNIX, extra=extra)
+    return hdr.encode()
+
+
+_HEADER_LEN = len(_member_header(0))
+_SIZE_OFFSET = _HEADER_LEN - 4          # u32 sits at the end of EXTRA
+
+
+def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
+             options=None, engine: str | None = None) -> bytes:
+    """Compress into an indexed multi-member gzip stream."""
+    data = bytes(data)
+    if engine in ("tpu", None):
+        try:
+            return _compress_device(data, member_size, options)
+        except ImportError:
+            pass
+    chunks = [data[i:i + member_size]
+              for i in range(0, max(len(data), 1), member_size)]
+    out = bytearray()
+    for chunk in chunks:
+        body = fgzip.compress(chunk, options=options, engine=engine)
+        # re-wrap with indexed header
+        member = _reheader(body, chunk)
+        out += member
+    return bytes(out)
+
+
+def _reheader(plain_gzip: bytes, chunk: bytes) -> bytes:
+    # strip the 10-byte plain header, prepend indexed header, patch size
+    payload = plain_gzip[10:]
+    member = bytearray(_member_header(0) + payload)
+    struct.pack_into("<I", member, _SIZE_OFFSET, len(member))
+    return bytes(member)
+
+
+def _compress_device(data: bytes, member_size: int, options) -> bytes:
+    import jax.numpy as jnp
+
+    from ..ops.checksum import crc32_batch_jax
+    from ..ops.deflate_encode import splice_blocks_host
+    from ..ops.pipeline import _encode_batch
+    from ..serial.deflate import EncodeOptions
+
+    opts = options or EncodeOptions()
+    if opts.matcher == "none" or opts.block_type == "stored":
+        raise ImportError("device path handles compressed members only")
+
+    n = len(data)
+    raw = np.frombuffer(data, np.uint8)
+    n_members = max(1, -(-n // member_size))
+    b_pad = 1 << (n_members - 1).bit_length()
+
+    blocks = np.zeros((b_pad, member_size), np.uint8)
+    n_valid = np.zeros((b_pad,), np.int32)
+    for i in range(n_members):
+        chunk = raw[i * member_size:(i + 1) * member_size]
+        blocks[i, :len(chunk)] = chunk
+        n_valid[i] = len(chunk)
+    bfinal = np.ones((b_pad,), np.int32)      # every member: 1 final block
+
+    words, bits = _encode_batch(jnp.asarray(blocks), jnp.asarray(n_valid),
+                                jnp.asarray(bfinal), opts.block_type)
+    words = np.asarray(words)
+    bits = np.asarray(bits)
+    # batched CRC over right-aligned rows
+    right = np.zeros_like(blocks)
+    for i in range(n_members):
+        ln = int(n_valid[i])
+        if ln:
+            right[i, member_size - ln:] = blocks[i, :ln]
+    crcs = crc32_batch_jax(jnp.asarray(right), n_valid)
+
+    out = bytearray()
+    for i in range(n_members):
+        body = splice_blocks_host(words[i:i + 1], bits[i:i + 1])
+        member = bytearray(_member_header(0))
+        member += body
+        member += struct.pack("<II", int(crcs[i]), int(n_valid[i]))
+        struct.pack_into("<I", member, _SIZE_OFFSET, len(member))
+        out += member
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+@dataclass
+class MemberRef:
+    start: int          # byte offset of the member
+    end: int            # byte offset one past the member
+    body: int           # byte offset of the DEFLATE payload
+
+
+def index_members(data: bytes) -> list[MemberRef] | None:
+    """Walk the LF index without decoding; None if any member lacks it."""
+    refs = []
+    pos = 0
+    while pos < len(data):
+        try:
+            hdr, body = fgzip.Header.decode(data, pos)
+        except (fgzip.GzipError, EOFError):
+            return None
+        size = None
+        if hdr.extra is not None:
+            for sub in hdr.extra.subfields:
+                if sub.id == INDEX_ID and len(sub.data) == 4:
+                    (size,) = struct.unpack("<I", sub.data)
+        if size is None or size <= 0 or pos + size > len(data):
+            return None
+        refs.append(MemberRef(pos, pos + size, body))
+        pos += size
+    return refs
+
+
+def decompress(data: bytes, engine: str | None = None,
+               verify: bool = True) -> bytes:
+    """Decompress a gzip stream; uses the parallel device path when the
+    LF index is present, else falls back to sequential MultiDecoder."""
+    data = bytes(data)
+    refs = index_members(data)
+    if refs is None:
+        return fgzip.decompress(data, engine=engine, multi=True)
+    try:
+        return _decompress_device(data, refs, verify)
+    except ImportError:
+        return fgzip.decompress(data, engine=engine, multi=True)
+
+
+def _decompress_device(data: bytes, refs: list[MemberRef],
+                       verify: bool) -> bytes:
+    import jax.numpy as jnp
+
+    from ..ops.checksum import crc32_batch_jax
+    from ..ops.deflate_decode import (decode_symbols, expand_tokens_device,
+                                      tables_from_lengths)
+    from ..serial.bitio import BitReader
+    from ..serial.deflate import DeflateError, read_dynamic_header_lengths
+    from .gzip import GzipError
+
+    bsz = len(refs)
+    # host: parse each member's single block header (byte-scale work;
+    # native batch parser when available, serial Python otherwise)
+    isizes = np.zeros((bsz,), np.int64)
+    crcs_expected = np.zeros((bsz,), np.uint32)
+    max_body = 0
+    for i, ref in enumerate(refs):
+        crcs_expected[i], isizes[i] = struct.unpack_from(
+            "<II", data, ref.end - 8)
+        max_body = max(max_body, ref.end - 8 - ref.body)
+
+    from .. import native
+    if native.available():
+        bodies = b"".join(data[ref.body:ref.end - 8] for ref in refs)
+        offs = np.zeros(bsz + 1, np.uint64)
+        for i, ref in enumerate(refs):
+            offs[i + 1] = offs[i] + (ref.end - 8 - ref.body)
+        lit_ls, dist_ls, starts64, flags = native.parse_dyn_headers(
+            bodies, offs)
+        if not ((flags == (1 | (C.BTYPE_DYNAMIC << 1))).all()):
+            raise ImportError("non-canonical member layout")
+        starts = starts64.astype(np.int32)
+    else:
+        lit_ls = np.zeros((bsz, C.MAX_LITLEN_SYMBOLS), np.int32)
+        dist_ls = np.zeros((bsz, C.MAX_DIST_SYMBOLS), np.int32)
+        starts = np.zeros((bsz,), np.int32)
+        for i, ref in enumerate(refs):
+            body = data[ref.body:ref.end - 8]
+            r = BitReader(body)
+            final = r.read_bits(1)
+            btype = r.read_bits(2)
+            if not final or btype != C.BTYPE_DYNAMIC:
+                # not our single-dynamic-block shape: fall back entirely
+                raise ImportError("non-canonical member layout")
+            lit_ls[i], dist_ls[i] = read_dynamic_header_lengths(r)
+            starts[i] = r.bit_position
+
+    out_cap = int(isizes.max(initial=1)) or 1
+    out_cap = 1 << max(8, (out_cap - 1).bit_length())
+    w = max_body // 4 + 4
+    words = np.zeros((bsz, w), np.uint32)
+    for i, ref in enumerate(refs):
+        body = data[ref.body:ref.end - 8]
+        arr = np.frombuffer(body + b"\x00" * ((-len(body)) % 4), np.uint8)
+        words[i, :len(arr) // 4] = arr.view("<u4")
+
+    lit_t, dist_t = tables_from_lengths(jnp.asarray(lit_ls),
+                                        jnp.asarray(dist_ls))
+    a, b, nt, end_bit, err = decode_symbols(
+        jnp.asarray(words), jnp.asarray(starts), lit_t, dist_t,
+        out_cap + 2)
+    if bool(np.asarray(err).any()):
+        bad = int(np.argmax(np.asarray(err)))
+        raise DeflateError(f"invalid Huffman code in member {bad}")
+    out, n_out, xerr = expand_tokens_device(a, b, nt, out_cap)
+    if bool(np.asarray(xerr).any()):
+        bad = int(np.argmax(np.asarray(xerr)))
+        raise DeflateError(f"bad back-reference in member {bad}")
+    out_np = np.asarray(out)
+    n_out_np = np.asarray(n_out)
+    if (n_out_np != isizes).any():
+        bad = int(np.argmax(n_out_np != isizes))
+        raise GzipError(f"gzip ISIZE mismatch in member {bad}: "
+                        f"{int(isizes[bad])} != {int(n_out_np[bad])}")
+    if verify:
+        right = np.zeros_like(out_np)
+        for i in range(bsz):
+            ln = int(n_out_np[i])
+            if ln:
+                right[i, out_cap - ln:] = out_np[i, :ln]
+        crcs = crc32_batch_jax(jnp.asarray(right), n_out_np)
+        if (crcs != crcs_expected).any():
+            bad = int(np.argmax(crcs != crcs_expected))
+            raise GzipError(
+                f"gzip CRC mismatch in member {bad}: stream says "
+                f"{int(crcs_expected[bad]):#010x}, computed "
+                f"{int(crcs[bad]):#010x}")
+    return b"".join(out_np[i, :int(n_out_np[i])].tobytes()
+                    for i in range(bsz))

@@ -1,0 +1,203 @@
+"""Native (C++) host engine loader.
+
+Builds ``libflate_native.so`` on first use with g++ (no pybind11 in the
+image — plain C ABI via ctypes).  All entry points degrade gracefully:
+``available()`` is False when the toolchain or the build is missing, and
+the backend registry then falls back to the serial engine.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_SO = _DIR / "libflate_native.so"
+_SRC = _DIR / "libflate_native.cpp"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _SO.exists() or _SO.stat().st_mtime_ns <= _SRC.stat().st_mtime_ns:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            _build_failed = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.lf_crc32.restype = ctypes.c_uint32
+        lib.lf_crc32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.lf_adler32.restype = ctypes.c_uint32
+        lib.lf_adler32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.lf_inflate.restype = ctypes.c_int
+        lib.lf_inflate.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                   ctypes.c_uint64, u64p, u64p]
+        lib.lf_deflate_greedy.restype = ctypes.c_int
+        lib.lf_deflate_greedy.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                          ctypes.c_uint64, u64p,
+                                          ctypes.c_uint64, ctypes.c_int]
+        lib.lf_parse_dyn_headers.restype = ctypes.c_int
+        lib.lf_parse_dyn_headers.argtypes = [u8p, u64p, ctypes.c_int32,
+                                             i32p, i32p, i64p, i32p]
+        lib.lf_splice.restype = ctypes.c_int
+        lib.lf_splice.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64,
+                                  i64p, u8p, ctypes.c_uint64, u64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    lib = load()
+    arr = np.frombuffer(bytes(data), np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, np.uint8)
+        return int(lib.lf_crc32(_as_u8p(arr), 0, crc))
+    return int(lib.lf_crc32(_as_u8p(arr), len(data), crc))
+
+
+def adler32(data: bytes, adler: int = 1) -> int:
+    lib = load()
+    arr = np.frombuffer(bytes(data), np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, np.uint8)
+        return int(lib.lf_adler32(_as_u8p(arr), 0, adler))
+    return int(lib.lf_adler32(_as_u8p(arr), len(data), adler))
+
+
+_ERRORS = {
+    -1: "unexpected end of stream",
+    -2: "HDIST too big",
+    -3: "invalid Huffman code",
+    -4: "repeat code 16 with no previous length",
+    -5: "code-length repeat overflows table",
+    -6: "end-of-block symbol has no code",
+    -7: "stored block LEN/NLEN mismatch",
+    -8: "output capacity exceeded",
+    -9: "reserved block type 0b11",
+    -10: "invalid length symbol",
+    -11: "invalid distance symbol",
+    -12: "back-pointer distance exceeds decoded history",
+}
+
+
+def inflate(data: bytes, initial_cap: int | None = None):
+    """Fast serial inflate.  Returns (bytes, end_bit)."""
+    from ..serial.deflate import DeflateError
+    lib = load()
+    src = np.frombuffer(bytes(data) + b"\x00", np.uint8)  # non-empty ptr
+    cap = initial_cap or max(8 * len(data) + 4096, 1 << 18)
+    for _ in range(8):
+        dst = np.empty(cap, np.uint8)
+        out_n = ctypes.c_uint64()
+        end_bit = ctypes.c_uint64()
+        rc = lib.lf_inflate(_as_u8p(src), len(data), _as_u8p(dst), cap,
+                            ctypes.byref(out_n), ctypes.byref(end_bit))
+        if rc == -8:
+            cap *= 4
+            continue
+        if rc == -1:
+            raise EOFError(_ERRORS[-1])
+        if rc < 0:
+            raise DeflateError(_ERRORS.get(rc, f"native error {rc}"))
+        return dst[:out_n.value].tobytes(), int(end_bit.value)
+    raise DeflateError("output too large")
+
+
+def deflate_greedy(data: bytes, block_size: int = 1 << 20,
+                   final: bool = True) -> bytes:
+    lib = load()
+    src = np.frombuffer(bytes(data) + b"\x00", np.uint8)
+    cap = len(data) + len(data) // 2 + 4096 + 400 * (len(data) // block_size + 1)
+    dst = np.empty(cap, np.uint8)
+    out_n = ctypes.c_uint64()
+    rc = lib.lf_deflate_greedy(_as_u8p(src), len(data), _as_u8p(dst), cap,
+                               ctypes.byref(out_n), block_size,
+                               1 if final else 0)
+    if rc:
+        raise RuntimeError(f"native deflate failed: {rc}")
+    return dst[:out_n.value].tobytes()
+
+
+def parse_dyn_headers(bodies: bytes, offsets: np.ndarray):
+    """Batch-parse member block headers.
+
+    Returns (lit_lengths (B,286), dist_lengths (B,30), start_bits (B,),
+    flags (B,)).  Raises DeflateError with the member index on failure.
+    """
+    from ..serial.deflate import DeflateError
+    lib = load()
+    b = len(offsets) - 1
+    buf = np.frombuffer(bytes(bodies) + b"\x00", np.uint8)
+    offs = np.ascontiguousarray(offsets, np.uint64)
+    lit = np.zeros((b, 286), np.int32)
+    dist = np.zeros((b, 30), np.int32)
+    starts = np.zeros(b, np.int64)
+    flags = np.zeros(b, np.int32)
+    rc = lib.lf_parse_dyn_headers(
+        _as_u8p(buf), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b, lit.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        member = (-rc) // 100
+        raise DeflateError(f"bad block header in member {member}")
+    return lit, dist, starts, flags
+
+
+def splice(words: np.ndarray, bits: np.ndarray) -> bytes:
+    """Native bit-splice of (B, W) uint32 rows with per-row bit counts."""
+    lib = load()
+    words = np.ascontiguousarray(words, np.uint32)
+    bits64 = np.ascontiguousarray(bits, np.int64)
+    total_bits = int(bits64.sum())
+    cap = total_bits // 8 + 64
+    dst = np.zeros(cap, np.uint8)
+    out_bits = ctypes.c_uint64()
+    rc = lib.lf_splice(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        words.shape[0], words.shape[1],
+        bits64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _as_u8p(dst), cap, ctypes.byref(out_bits))
+    if rc:
+        raise RuntimeError(f"native splice failed: {rc}")
+    return dst[: (int(out_bits.value) + 7) // 8].tobytes()

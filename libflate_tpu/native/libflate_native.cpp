@@ -1,0 +1,684 @@
+// libflate_native — C++ host engine for the libflate_tpu framework.
+//
+// The reference's performance-critical native layer is Rust
+// (crc32fast/adler32/rle-decode-fast + the codec itself; SURVEY.md §2.2).
+// This file provides the framework's host-side native equivalents:
+//
+//   * slice-by-8 CRC-32 and blocked Adler-32
+//   * a fast serial DEFLATE decoder (flat-table Huffman, unrolled copies)
+//   * a fast greedy DEFLATE encoder (hash-head matcher, dynamic blocks
+//     with RLE'd code-length headers — full parity with RFC-1951 §3.2.7)
+//   * batched dynamic-header parsing (feeds the TPU decode pipeline)
+//   * bit-stream splicing for parallel-encoded block outputs
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in image).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC-32 (IEEE, reflected) — slice-by-8
+// ---------------------------------------------------------------------------
+static uint32_t crc_tab[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    if (crc_init_done) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? 0xEDB88320u : 0);
+        crc_tab[0][i] = c;
+    }
+    for (int k = 1; k < 8; k++)
+        for (uint32_t i = 0; i < 256; i++)
+            crc_tab[k][i] = crc_tab[0][crc_tab[k-1][i] & 0xFF] ^ (crc_tab[k-1][i] >> 8);
+    crc_init_done = true;
+}
+
+uint32_t lf_crc32(const uint8_t* buf, uint64_t n, uint32_t crc) {
+    crc_init();
+    uint32_t c = crc ^ 0xFFFFFFFFu;
+    while (n >= 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, buf, 4); memcpy(&hi, buf + 4, 4);
+        lo ^= c;
+        c = crc_tab[7][lo & 0xFF] ^ crc_tab[6][(lo >> 8) & 0xFF]
+          ^ crc_tab[5][(lo >> 16) & 0xFF] ^ crc_tab[4][lo >> 24]
+          ^ crc_tab[3][hi & 0xFF] ^ crc_tab[2][(hi >> 8) & 0xFF]
+          ^ crc_tab[1][(hi >> 16) & 0xFF] ^ crc_tab[0][hi >> 24];
+        buf += 8; n -= 8;
+    }
+    while (n--) c = crc_tab[0][(c ^ *buf++) & 0xFF] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+// ---------------------------------------------------------------------------
+// Adler-32
+// ---------------------------------------------------------------------------
+uint32_t lf_adler32(const uint8_t* buf, uint64_t n, uint32_t adler) {
+    const uint32_t MOD = 65521;
+    uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
+    while (n) {
+        uint64_t blk = n < 5552 ? n : 5552;   // max before 32-bit overflow
+        n -= blk;
+        while (blk--) { a += *buf++; b += a; }
+        a %= MOD; b %= MOD;
+    }
+    return (b << 16) | a;
+}
+
+// ---------------------------------------------------------------------------
+// Bit reader (LSB-first)
+// ---------------------------------------------------------------------------
+struct BitIn {
+    const uint8_t* data;
+    uint64_t size;
+    uint64_t pos;       // byte position
+    uint64_t acc;
+    int nbits;
+    bool overrun;
+};
+
+static inline void bi_init(BitIn* b, const uint8_t* d, uint64_t n, uint64_t start_bit) {
+    b->data = d; b->size = n; b->pos = start_bit >> 3;
+    b->acc = 0; b->nbits = 0; b->overrun = false;
+    int drop = (int)(start_bit & 7);
+    if (b->pos < n) { b->acc = d[b->pos++] >> drop; b->nbits = 8 - drop; }
+    else if (drop) b->overrun = true;
+}
+
+static inline void bi_fill(BitIn* b) {
+    if (b->pos + 8 <= b->size) {
+        // branchless 64-bit refill (libdeflate-style): claim 56-63 bits
+        uint64_t chunk;
+        memcpy(&chunk, b->data + b->pos, 8);
+        b->acc |= chunk << b->nbits;
+        b->pos += (63 - b->nbits) >> 3;
+        b->nbits |= 56;
+        return;
+    }
+    while (b->nbits <= 56) {
+        if (b->pos >= b->size) break;
+        b->acc |= (uint64_t)b->data[b->pos++] << b->nbits;
+        b->nbits += 8;
+    }
+}
+
+static inline uint32_t bi_read(BitIn* b, int n) {
+    if (b->nbits < n) bi_fill(b);
+    if (b->nbits < n) { b->overrun = true; return 0; }
+    uint32_t v = (uint32_t)(b->acc & ((1ull << n) - 1));
+    b->acc >>= n; b->nbits -= n;
+    return v;
+}
+
+static inline uint32_t bi_peek(BitIn* b, int n) {
+    if (b->nbits < n) bi_fill(b);
+    return (uint32_t)(b->acc & ((1ull << n) - 1));
+}
+
+static inline void bi_skip(BitIn* b, int n) {
+    if (b->nbits < n) { b->overrun = true; b->nbits = 0; b->acc = 0; return; }
+    b->acc >>= n; b->nbits -= n;
+}
+
+static inline uint64_t bi_bitpos(BitIn* b) { return b->pos * 8 - b->nbits; }
+
+static inline void bi_align(BitIn* b) { int d = b->nbits & 7; b->acc >>= d; b->nbits -= d; }
+
+// ---------------------------------------------------------------------------
+// Huffman decode table (flat, 2^15 max)
+// ---------------------------------------------------------------------------
+// entry: (sym << 4) | width, 0 = invalid
+static bool build_table(const int32_t* lengths, int n, uint16_t* table, int table_bits) {
+    int counts[16] = {0};
+    for (int i = 0; i < n; i++) {
+        int l = lengths[i];
+        if (l < 0 || l > table_bits) return false;
+        if (l) counts[l]++;
+    }
+    int firsts[16]; int code = 0;
+    int total = 0;
+    for (int l = 1; l <= table_bits; l++) {
+        code = (code + counts[l-1]) << 1;
+        firsts[l] = code;
+        total += counts[l] << (table_bits - l);
+    }
+    if (total > (1 << table_bits)) return false;   // oversubscribed
+    memset(table, 0, sizeof(uint16_t) << table_bits);
+    int next[16]; memcpy(next, firsts, sizeof(next));
+    for (int s = 0; s < n; s++) {
+        int l = lengths[s];
+        if (!l) continue;
+        int c = next[l]++;
+        // reverse l bits
+        int rev = 0, cc = c;
+        for (int k = 0; k < l; k++) { rev = (rev << 1) | (cc & 1); cc >>= 1; }
+        for (int idx = rev; idx < (1 << table_bits); idx += (1 << l))
+            table[idx] = (uint16_t)((s << 4) | l);
+    }
+    return true;
+}
+
+// ---------------------------------------------------------------------------
+// DEFLATE decode tables / constants
+// ---------------------------------------------------------------------------
+static const uint16_t LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+    35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+    3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const uint32_t DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,
+    129,193,257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
+    7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+static const uint8_t CLC_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+static void fixed_lit_lengths(int32_t* l) {
+    for (int i = 0; i < 144; i++) l[i] = 8;
+    for (int i = 144; i < 256; i++) l[i] = 9;
+    for (int i = 256; i < 280; i++) l[i] = 7;
+    for (int i = 280; i < 288; i++) l[i] = 8;
+}
+
+// parse a dynamic header; returns 0 ok, <0 error codes
+static int parse_dyn_header(BitIn* b, int32_t* lit_l, int32_t* dist_l) {
+    int hlit = bi_read(b, 5) + 257;
+    int hdist = bi_read(b, 5) + 1;
+    int hclen = bi_read(b, 4) + 4;
+    if (b->overrun) return -1;
+    if (hdist > 30) return -2;            // "HDIST too big"
+    int32_t clc[19] = {0};
+    for (int k = 0; k < hclen; k++) clc[CLC_ORDER[k]] = bi_read(b, 3);
+    if (b->overrun) return -1;
+    uint16_t clc_table[1 << 7];
+    if (!build_table(clc, 19, clc_table, 7)) return -3;
+    int total = hlit + hdist;
+    int32_t tmp[286 + 30];
+    int i = 0;
+    while (i < total) {
+        uint16_t e = clc_table[bi_peek(b, 7)];
+        if (!e) return -3;
+        bi_skip(b, e & 15);
+        if (b->overrun) return -1;
+        int sym = e >> 4;
+        if (sym < 16) { tmp[i++] = sym; }
+        else if (sym == 16) {
+            if (i == 0) return -4;
+            int run = 3 + bi_read(b, 2);
+            if (i + run > total) return -5;
+            for (int k = 0; k < run; k++) { tmp[i] = tmp[i-1]; i++; }
+        } else if (sym == 17) {
+            int run = 3 + bi_read(b, 3);
+            if (i + run > total) return -5;
+            for (int k = 0; k < run; k++) tmp[i++] = 0;
+        } else {
+            int run = 11 + bi_read(b, 7);
+            if (i + run > total) return -5;
+            for (int k = 0; k < run; k++) tmp[i++] = 0;
+        }
+        if (b->overrun) return -1;
+    }
+    memset(lit_l, 0, 286 * sizeof(int32_t));
+    memset(dist_l, 0, 30 * sizeof(int32_t));
+    memcpy(lit_l, tmp, hlit * sizeof(int32_t));
+    memcpy(dist_l, tmp + hlit, hdist * sizeof(int32_t));
+    if (!lit_l[256]) return -6;           // EOB has no code
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Serial inflate
+//   returns: 0 ok; <0 error; sets *out_n, *end_bit
+// ---------------------------------------------------------------------------
+int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
+               uint64_t* out_n, uint64_t* end_bit) {
+    BitIn b; bi_init(&b, src, n, 0);
+    uint64_t o = 0;
+    static thread_local uint16_t lit_table[1 << 15];
+    static thread_local uint16_t dist_table[1 << 15];
+    for (;;) {
+        int final_ = bi_read(&b, 1);
+        int btype = bi_read(&b, 2);
+        if (b.overrun) return -1;
+        if (btype == 0) {
+            bi_align(&b);
+            uint32_t len = bi_read(&b, 16);
+            uint32_t nlen = bi_read(&b, 16);
+            if (b.overrun) return -1;
+            if (len != (nlen ^ 0xFFFFu)) return -7;
+            if (o + len > cap) return -8;
+            // drain acc bytes first
+            while (b.nbits >= 8 && len) {
+                dst[o++] = (uint8_t)(b.acc & 0xFF); b.acc >>= 8; b.nbits -= 8; len--;
+            }
+            // the 64-bit refill keeps a read-ahead byte in acc beyond
+            // nbits; the bulk copy below moves pos arbitrarily, so that
+            // byte would no longer match data[pos] — mask it off
+            b.acc &= (1ull << b.nbits) - 1;
+            if (b.pos + len > b.size) return -1;
+            memcpy(dst + o, b.data + b.pos, len);
+            o += len; b.pos += len;
+        } else if (btype == 3) {
+            return -9;                     // reserved type
+        } else {
+            bool ok;
+            if (btype == 1) {
+                int32_t ll[288], dl[30];
+                fixed_lit_lengths(ll);
+                for (int i = 0; i < 30; i++) dl[i] = 5;
+                ok = build_table(ll, 288, lit_table, 15)
+                  && build_table(dl, 30, dist_table, 15);
+            } else {
+                int32_t ll[286], dl[30];
+                int rc = parse_dyn_header(&b, ll, dl);
+                if (rc) return rc;
+                bool any_dist = false;
+                for (int i = 0; i < 30; i++) any_dist |= dl[i] != 0;
+                ok = build_table(ll, 286, lit_table, 15);
+                if (ok) {
+                    if (any_dist) ok = build_table(dl, 30, dist_table, 15);
+                    else memset(dist_table, 0, sizeof(uint16_t) << 15);
+                }
+            }
+            if (!ok) return -3;
+            for (;;) {
+                // one refill covers the worst-case symbol: 15+5+15+13 <= 56
+                bi_fill(&b);
+                uint16_t e = lit_table[(uint32_t)(b.acc & 0x7FFF)];
+                if (!e) return -3;
+                int w = e & 15;
+                if (b.nbits < w) return -1;
+                b.acc >>= w; b.nbits -= w;
+                int sym = e >> 4;
+                if (sym < 256) {
+                    if (o >= cap) return -8;
+                    dst[o++] = (uint8_t)sym;
+                } else if (sym == 256) {
+                    break;
+                } else {
+                    if (sym > 285) return -10;
+                    int li = sym - 257;
+                    int le = LEN_EXTRA[li];
+                    uint32_t length = LEN_BASE[li] +
+                        (uint32_t)(b.acc & ((1u << le) - 1));
+                    b.acc >>= le; b.nbits -= le;
+                    uint16_t de = dist_table[(uint32_t)(b.acc & 0x7FFF)];
+                    if (!de) return -3;
+                    int dw = de & 15;
+                    b.acc >>= dw; b.nbits -= dw;
+                    int ds = de >> 4;
+                    if (ds > 29) return -11;
+                    int dxe = DIST_EXTRA[ds];
+                    uint32_t dist = DIST_BASE[ds] +
+                        (uint32_t)(b.acc & ((1u << dxe) - 1));
+                    b.acc >>= dxe; b.nbits -= dxe;
+                    if (b.nbits < 0) return -1;
+                    if (dist > o) return -12;   // distance too far back
+                    if (o + length > cap) return -8;
+                    const uint8_t* s = dst + o - dist;
+                    uint8_t* d = dst + o;
+                    o += length;
+                    if (dist >= 8) {
+                        while (length >= 8) { memcpy(d, s, 8); d += 8; s += 8; length -= 8; }
+                        while (length--) *d++ = *s++;
+                    } else {
+                        while (length--) *d++ = *s++;
+                    }
+                }
+            }
+        }
+        if (final_) break;
+    }
+    *out_n = o;
+    *end_bit = bi_bitpos(&b);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched dynamic-header parse (for the TPU decode pipeline)
+//   bodies: concatenated member payloads; offsets[i]..offsets[i+1] per member
+//   outputs: lit_lengths (B*286), dist_lengths (B*30), start_bits (B)
+// ---------------------------------------------------------------------------
+int lf_parse_dyn_headers(const uint8_t* bodies, const uint64_t* offsets,
+                         int32_t batch, int32_t* lit_lengths,
+                         int32_t* dist_lengths, int64_t* start_bits,
+                         int32_t* flags /* per-member: bfinal|btype<<1 */) {
+    for (int32_t i = 0; i < batch; i++) {
+        const uint8_t* p = bodies + offsets[i];
+        uint64_t len = offsets[i+1] - offsets[i];
+        BitIn b; bi_init(&b, p, len, 0);
+        int final_ = bi_read(&b, 1);
+        int btype = bi_read(&b, 2);
+        if (b.overrun) return -(i * 100 + 1);
+        flags[i] = final_ | (btype << 1);
+        if (btype == 2) {
+            int rc = parse_dyn_header(&b, lit_lengths + (int64_t)i * 286,
+                                      dist_lengths + (int64_t)i * 30);
+            if (rc) return -(i * 100 - rc);
+        } else if (btype == 1) {
+            int32_t ll[288];
+            fixed_lit_lengths(ll);
+            memcpy(lit_lengths + (int64_t)i * 286, ll, 286 * sizeof(int32_t));
+            for (int k = 0; k < 30; k++) dist_lengths[(int64_t)i * 30 + k] = 5;
+        } else {
+            return -(i * 100 + 9);
+        }
+        start_bits[i] = (int64_t)bi_bitpos(&b);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Bit writer
+// ---------------------------------------------------------------------------
+struct BitOut {
+    uint8_t* data;
+    uint64_t cap;
+    uint64_t pos;
+    uint64_t acc;
+    int nbits;
+    bool overflow;
+};
+
+static inline void bo_init(BitOut* b, uint8_t* d, uint64_t cap) {
+    b->data = d; b->cap = cap; b->pos = 0; b->acc = 0; b->nbits = 0; b->overflow = false;
+}
+
+static inline void bo_write(BitOut* b, uint32_t v, int n) {
+    b->acc |= (uint64_t)(v & ((1u << n) - 1)) << b->nbits;
+    b->nbits += n;
+    while (b->nbits >= 8) {
+        if (b->pos >= b->cap) { b->overflow = true; b->nbits = 0; return; }
+        b->data[b->pos++] = (uint8_t)(b->acc & 0xFF);
+        b->acc >>= 8; b->nbits -= 8;
+    }
+}
+
+static inline void bo_align(BitOut* b) { if (b->nbits) bo_write(b, 0, 8 - b->nbits); }
+
+// ---------------------------------------------------------------------------
+// Huffman construction (package-merge) for the native encoder
+// ---------------------------------------------------------------------------
+struct PmNode { uint64_t w; int count_idx; };
+
+// compute optimal length-limited code lengths; freqs length n <= 288
+static void pm_lengths(const uint32_t* freqs, int n, int limit, int32_t* lengths) {
+    // active symbols sorted by freq
+    int order[288]; int na = 0;
+    for (int i = 0; i < n; i++) { lengths[i] = 0; if (freqs[i]) order[na++] = i; }
+    if (na == 0) return;
+    if (na == 1) { lengths[order[0]] = 1; return; }
+    std::sort(order, order + na, [&](int a, int bb) {
+        return freqs[a] != freqs[bb] ? freqs[a] < freqs[bb] : a < bb; });
+    // levels algorithm (mirrors ops/huffman.py): sorted leaf weights,
+    // per-level merged (weight, is_leaf) lists, then selection counting.
+    const int S = 2 * 288;
+    static thread_local uint64_t items[S];        // current level items
+    static thread_local uint64_t leaves[288];
+    static thread_local uint8_t leaf_flags[16][S]; // per level
+    static thread_local int level_sizes[16];
+    for (int i = 0; i < na; i++) leaves[i] = freqs[order[i]];
+    int cur_n = na;
+    for (int i = 0; i < na; i++) items[i] = leaves[i];
+    for (int i = 0; i < cur_n; i++) leaf_flags[0][i] = 1;
+    level_sizes[0] = cur_n;
+    for (int lev = 1; lev < limit; lev++) {
+        // package pairs of current items
+        int np = cur_n / 2;
+        static thread_local uint64_t pkg[S];
+        for (int i = 0; i < np; i++) pkg[i] = items[2*i] + items[2*i+1];
+        // merge leaves with packages (stable: leaves first on ties)
+        int ia = 0, ip = 0, k = 0;
+        static thread_local uint64_t mi[S];
+        static thread_local uint8_t mf[S];
+        while ((ia < na || ip < np) && k < S) {
+            bool take_leaf = ip >= np || (ia < na && leaves[ia] <= pkg[ip]);
+            if (take_leaf) { mi[k] = leaves[ia++]; mf[k] = 1; }
+            else { mi[k] = pkg[ip++]; mf[k] = 0; }
+            k++;
+        }
+        cur_n = k < 2 * (na - 1) ? k : 2 * (na - 1);
+        memcpy(items, mi, cur_n * sizeof(uint64_t));
+        memcpy(leaf_flags[lev], mf, cur_n);
+        level_sizes[lev] = cur_n;
+    }
+    // selection: top level = last built
+    int m = 2 * (na - 1);
+    int cs[16];
+    for (int lev = limit - 1; lev >= 0; lev--) {
+        int take = m < level_sizes[lev] ? m : level_sizes[lev];
+        int c = 0;
+        for (int i = 0; i < take; i++) c += leaf_flags[lev][i];
+        cs[lev] = c;
+        m = 2 * (m - c);
+    }
+    for (int k = 0; k < na; k++) {
+        int L = 0;
+        for (int lev = 0; lev < limit; lev++) L += (k < cs[lev]) ? 1 : 0;
+        lengths[order[k]] = L;
+    }
+}
+
+// canonical codes from lengths (reversed for LSB-first emission)
+static void canon_codes_rev(const int32_t* lengths, int n, uint16_t* codes) {
+    int counts[16] = {0};
+    for (int i = 0; i < n; i++) if (lengths[i]) counts[lengths[i]]++;
+    int firsts[16]; int code = 0;
+    for (int l = 1; l <= 15; l++) { code = (code + counts[l-1]) << 1; firsts[l] = code; }
+    int next[16]; memcpy(next, firsts, sizeof(next));
+    for (int i = 0; i < n; i++) {
+        int l = lengths[i];
+        if (!l) { codes[i] = 0; continue; }
+        int c = next[l]++;
+        int rev = 0;
+        for (int k = 0; k < l; k++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        codes[i] = (uint16_t)rev;
+    }
+}
+
+// length/distance code LUTs for the encoder
+static uint16_t len_code_lut[259]; static uint8_t len_nextra_lut[259]; static uint16_t len_extra_lut[259];
+static int32_t dist_code_of(uint32_t d) {
+    // branchless-ish binary search over DIST_BASE
+    int lo = 0, hi = 29;
+    while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (DIST_BASE[mid] <= d) lo = mid; else hi = mid - 1; }
+    return lo;
+}
+static bool enc_luts_done = false;
+static void enc_luts_init() {
+    if (enc_luts_done) return;
+    for (int c = 0; c < 29; c++) {
+        uint32_t lo = LEN_BASE[c];
+        uint32_t hi = c == 28 ? 258 : (uint32_t)(LEN_BASE[c+1] - 1);
+        for (uint32_t L = lo; L <= hi && L <= 258; L++) {
+            len_code_lut[L] = 257 + c; len_nextra_lut[L] = LEN_EXTRA[c]; len_extra_lut[L] = L - lo;
+        }
+    }
+    len_code_lut[258] = 285; len_nextra_lut[258] = 0; len_extra_lut[258] = 0;
+    enc_luts_done = true;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy LZ77 + dynamic-block DEFLATE encoder
+// ---------------------------------------------------------------------------
+// token buffer entry: literal (b==0) or match
+struct Tok { uint16_t a; uint16_t b_lo; uint16_t b_hi; };
+
+static void write_dyn_header(BitOut* bo, const int32_t* lit_l, const int32_t* dist_l) {
+    // determine HLIT/HDIST
+    int hlit = 257, hdist = 1;
+    for (int i = 256; i < 286; i++) if (lit_l[i]) hlit = i + 1;
+    for (int i = 0; i < 30; i++) if (dist_l[i]) hdist = i + 1;
+    // RLE the combined sequence
+    int total = hlit + hdist;
+    int32_t seq[316];
+    memcpy(seq, lit_l, hlit * sizeof(int32_t));
+    memcpy(seq + hlit, dist_l, hdist * sizeof(int32_t));
+    // rle symbols: (sym, extra, nbits)
+    int rs[316 * 2], re[316 * 2], rn[316 * 2]; int nr = 0;
+    int i = 0;
+    while (i < total) {
+        int v = seq[i]; int run = 1;
+        while (i + run < total && seq[i + run] == v) run++;
+        i += run;
+        if (v == 0) {
+            while (run >= 11) { int r = run < 138 ? run : 138; rs[nr]=18; re[nr]=r-11; rn[nr]=7; nr++; run -= r; }
+            if (run >= 3) { rs[nr]=17; re[nr]=run-3; rn[nr]=3; nr++; run = 0; }
+            while (run--) { rs[nr]=0; re[nr]=0; rn[nr]=0; nr++; }
+        } else {
+            rs[nr]=v; re[nr]=0; rn[nr]=0; nr++; run--;
+            while (run >= 3) { int r = run < 6 ? run : 6; rs[nr]=16; re[nr]=r-3; rn[nr]=2; nr++; run -= r; }
+            while (run-- > 0) { rs[nr]=v; re[nr]=0; rn[nr]=0; nr++; }
+        }
+    }
+    uint32_t clc_freq[19] = {0};
+    for (int k = 0; k < nr; k++) clc_freq[rs[k]]++;
+    int32_t clc_l[19]; pm_lengths(clc_freq, 19, 7, clc_l);
+    uint16_t clc_c[19]; canon_codes_rev(clc_l, 19, clc_c);
+    int hclen = 4;
+    for (int k = 0; k < 19; k++) if (clc_l[CLC_ORDER[k]]) hclen = k + 1;
+    bo_write(bo, hlit - 257, 5);
+    bo_write(bo, hdist - 1, 5);
+    bo_write(bo, hclen - 4, 4);
+    for (int k = 0; k < hclen; k++) bo_write(bo, clc_l[CLC_ORDER[k]], 3);
+    for (int k = 0; k < nr; k++) {
+        bo_write(bo, clc_c[rs[k]], clc_l[rs[k]]);
+        if (rn[k]) bo_write(bo, re[k], rn[k]);
+    }
+}
+
+// encode tokens as one dynamic block
+static void emit_block(BitOut* bo, const Tok* toks, int64_t ntok, int bfinal) {
+    enc_luts_init();
+    uint32_t lit_freq[286] = {0}, dist_freq[30] = {0};
+    for (int64_t i = 0; i < ntok; i++) {
+        uint32_t d = toks[i].b_lo | ((uint32_t)toks[i].b_hi << 16);
+        if (d == 0) lit_freq[toks[i].a]++;
+        else { lit_freq[len_code_lut[toks[i].a]]++; dist_freq[dist_code_of(d)]++; }
+    }
+    lit_freq[256]++;
+    bool any_dist = false;
+    for (int i = 0; i < 30; i++) any_dist |= dist_freq[i] != 0;
+    if (!any_dist) dist_freq[0] = 1;       // dummy (issue #23 parity)
+    int32_t lit_l[286], dist_l[30];
+    pm_lengths(lit_freq, 286, 15, lit_l);
+    pm_lengths(dist_freq, 30, 15, dist_l);
+    uint16_t lit_c[286], dist_c[30];
+    canon_codes_rev(lit_l, 286, lit_c);
+    canon_codes_rev(dist_l, 30, dist_c);
+    bo_write(bo, bfinal, 1);
+    bo_write(bo, 2, 2);
+    write_dyn_header(bo, lit_l, dist_l);
+    for (int64_t i = 0; i < ntok; i++) {
+        uint32_t d = toks[i].b_lo | ((uint32_t)toks[i].b_hi << 16);
+        if (d == 0) {
+            bo_write(bo, lit_c[toks[i].a], lit_l[toks[i].a]);
+        } else {
+            int lc = len_code_lut[toks[i].a];
+            bo_write(bo, lit_c[lc], lit_l[lc]);
+            if (len_nextra_lut[toks[i].a]) bo_write(bo, len_extra_lut[toks[i].a], len_nextra_lut[toks[i].a]);
+            int dc = dist_code_of(d);
+            bo_write(bo, dist_c[dc], dist_l[dc]);
+            if (DIST_EXTRA[dc]) bo_write(bo, d - DIST_BASE[dc], DIST_EXTRA[dc]);
+        }
+    }
+    bo_write(bo, lit_c[256], lit_l[256]);
+}
+
+// greedy matcher (parity with the reference's single-slot strategy:
+// libflate_lz77/src/default.rs — most-recent previous 3-byte prefix)
+int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
+                      uint64_t* out_n, uint64_t block_size, int final_marker) {
+    enc_luts_init();
+    BitOut bo; bo_init(&bo, dst, cap);
+    const int HB = 16;                      // 64K buckets over 3-byte hash
+    static thread_local int64_t head[1 << 16];
+    Tok* toks = (Tok*)malloc(sizeof(Tok) * (block_size + 1));
+    if (!toks) return -100;
+    uint64_t pos = 0;
+    bool first = true;
+    while (first || pos < n) {
+        first = false;
+        uint64_t bstart = pos;
+        uint64_t bend = pos + block_size < n ? pos + block_size : n;
+        for (int i = 0; i < (1 << 16); i++) head[i] = -1;
+        int64_t ntok = 0;
+        uint64_t i = pos;
+        while (i < bend) {
+            if (i + 3 > bend) { toks[ntok].a = src[i]; toks[ntok].b_lo = 0; toks[ntok].b_hi = 0; ntok++; i++; continue; }
+            uint32_t key = ((uint32_t)src[i] << 16) | ((uint32_t)src[i+1] << 8) | src[i+2];
+            uint32_t h = (key * 2654435761u) >> (32 - HB);
+            int64_t cand = head[h];
+            head[h] = (int64_t)i;
+            bool matched = false;
+            if (cand >= (int64_t)bstart && i - cand <= 32768) {
+                // verify key (hash buckets can collide)
+                if (src[cand] == src[i] && src[cand+1] == src[i+1] && src[cand+2] == src[i+2]) {
+                    uint64_t maxl = bend - i < 258 ? bend - i : 258;
+                    uint64_t L = 3;
+                    while (L < maxl && src[cand + L] == src[i + L]) L++;
+                    uint32_t d = (uint32_t)(i - cand);
+                    toks[ntok].a = (uint16_t)L; toks[ntok].b_lo = d & 0xFFFF; toks[ntok].b_hi = d >> 16;
+                    ntok++;
+                    // re-index skipped positions
+                    uint64_t stop = i + L < bend - 2 ? i + L : (bend >= 2 ? bend - 2 : 0);
+                    for (uint64_t j = i + 1; j < stop; j++) {
+                        uint32_t k2 = ((uint32_t)src[j] << 16) | ((uint32_t)src[j+1] << 8) | src[j+2];
+                        head[(k2 * 2654435761u) >> (32 - HB)] = (int64_t)j;
+                    }
+                    i += L;
+                    matched = true;
+                }
+            }
+            if (!matched) { toks[ntok].a = src[i]; toks[ntok].b_lo = 0; toks[ntok].b_hi = 0; ntok++; i++; }
+        }
+        int bfinal = (bend >= n && final_marker) ? 1 : 0;
+        emit_block(&bo, toks, ntok, bfinal);
+        if (bo.overflow) { free(toks); return -8; }
+        pos = bend;
+    }
+    bo_align(&bo);
+    free(toks);
+    if (bo.overflow) return -8;
+    *out_n = bo.pos;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Bit splice: shift many bit-streams to packed concatenation
+// ---------------------------------------------------------------------------
+// words: B rows of W uint32; bits[i] = meaningful bit count of row i
+int lf_splice(const uint32_t* words, int64_t b, int64_t w,
+              const int64_t* bits, uint8_t* dst, uint64_t cap,
+              uint64_t* out_bits) {
+    uint64_t offset = 0;
+    memset(dst, 0, cap);
+    for (int64_t blk = 0; blk < b; blk++) {
+        int64_t nb = bits[blk];
+        const uint32_t* row = words + blk * w;
+        int64_t nw = (nb + 31) / 32;
+        uint64_t word0 = offset >> 5;
+        int sh = (int)(offset & 31);
+        if (((offset + nb + 7) >> 3) + 8 > cap) return -8;
+        uint32_t* out32 = (uint32_t*)dst;
+        for (int64_t k = 0; k < nw; k++) {
+            uint64_t v = row[k];
+            if (k == nw - 1) {
+                int tail = (int)(nb & 31);
+                if (tail) v &= (1ull << tail) - 1;
+            }
+            uint64_t shifted = v << sh;
+            out32[word0 + k] |= (uint32_t)(shifted & 0xFFFFFFFFu);
+            out32[word0 + k + 1] |= (uint32_t)(shifted >> 32);
+        }
+        offset += (uint64_t)nb;
+    }
+    *out_bits = offset;
+    return 0;
+}
+
+}  // extern "C"

@@ -112,6 +112,48 @@ def _crc32_padded(chunks: jnp.ndarray, length: int) -> jnp.ndarray:
     return (value ^ init) ^ jnp.uint32(0xFFFFFFFF)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _crc32_f_padded(chunks: jnp.ndarray) -> jnp.ndarray:
+    """Raw f-value (register from 0) of (M, 64) uint8 chunks, M = 2^k."""
+    bits = _bits_of_bytes(chunks)                       # (M, 512)
+    G = jnp.asarray(_chunk_basis_matrix())              # (512, 32)
+    v = jnp.mod(bits @ G, 2.0)                          # (M, 32)
+    level = 0
+    while v.shape[0] > 1:
+        lo = v[0::2]
+        hi = v[1::2]
+        A = jnp.asarray(_level_matrix(level))
+        v = jnp.mod(jnp.mod(lo @ A, 2.0) + hi, 2.0)
+        level += 1
+    vbits = v[0].astype(jnp.uint32)
+    return jnp.sum(vbits << jnp.arange(32, dtype=jnp.uint32))
+
+
+def crc32_batch_jax(data: jnp.ndarray, lengths) -> jnp.ndarray:
+    """Batched CRC-32 of right-aligned rows.
+
+    Args:
+        data: (B, N) uint8 with each row's payload occupying the LAST
+            ``lengths[i]`` bytes (front zero-padding does not perturb the
+            raw CRC register, so one fixed-shape kernel serves all rows).
+        lengths: (B,) host ints — true byte counts.
+
+    Returns (B,) uint32 CRCs (numpy, after host init-term fold).
+    """
+    import numpy as _np
+    bsz, n = data.shape
+    m = max(1, -(-n // CHUNK))
+    mp = 1 << (m - 1).bit_length()
+    padded = jnp.pad(data.astype(jnp.uint8), ((0, 0), (mp * CHUNK - n, 0)))
+    f = jax.vmap(lambda row: _crc32_f_padded(row.reshape(mp, CHUNK)))(padded)
+    f = _np.asarray(f, dtype=_np.uint32)
+    lens = _np.asarray(lengths)
+    init = _np.array([_init_term(int(l)) for l in lens], dtype=_np.uint32)
+    out = (f ^ init) ^ _np.uint32(0xFFFFFFFF)
+    out[lens == 0] = 0
+    return out
+
+
 def crc32_jax(data: jnp.ndarray) -> jnp.ndarray:
     """CRC-32 of a uint8 array (device computation, host padding)."""
     n = int(data.shape[0])

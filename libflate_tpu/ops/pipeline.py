@@ -54,7 +54,8 @@ def _encode_batch_literal(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     return jax.vmap(one)(blocks, n_valid, bfinal)
 
 
-def deflate_device(data: bytes, options=None) -> bytes:
+def deflate_device(data: bytes, options=None,
+                   device_block_size: int | None = None) -> bytes:
     """Compress to a complete raw DEFLATE stream on the device."""
     from ..serial.deflate import EncodeOptions
     opts = options or EncodeOptions()
@@ -63,7 +64,7 @@ def deflate_device(data: bytes, options=None) -> bytes:
         return _serial_deflate(bytes(data), opts)
 
     raw = np.frombuffer(bytes(data), np.uint8)
-    bs = min(opts.block_size, DEVICE_BLOCK_SIZE)
+    bs = min(opts.block_size, device_block_size or DEVICE_BLOCK_SIZE)
     n_blocks = max(1, -(-len(raw) // bs))
     b_pad = 1 << (n_blocks - 1).bit_length()
 

@@ -7,13 +7,19 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 
 # neutralize the axon TPU-tunnel sitecustomize (it force-registers the
-# remote TPU backend and costs minutes of startup); tests are CPU-only
+# remote TPU backend and costs minutes of startup); tests are CPU-only.
+# the env var alone is NOT enough — the sitecustomize overrides it via
+# jax.config, so re-override through jax.config after import.
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import random
