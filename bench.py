@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: PGZF (block-parallel gzip) decode throughput on the
+available accelerator, vs the reference's published DEFLATE decode rate
+(libflate: 0.205 GB/s output — BASELINE.md).  Also reports device
+encode throughput, native host-engine rates, and the compressed-size
+ratio vs libflate's greedy matcher class.
+
+Usage: python bench.py            (runs on whatever jax.devices() gives)
+Env:   BENCH_MB=<int>   corpus size in MiB (default 32)
+       BENCH_ENGINE=tpu|native    headline engine (default tpu)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_corpus(mb: int) -> bytes:
+    """Synthetic enwiki-titles-like corpus: newline-separated short
+    titles from a Zipfian vocabulary (mirrors the reference's 265 MB
+    enwiki-latest-all-titles benchmark input, README.md:46-68)."""
+    rng = np.random.default_rng(42)
+    vocab_n = 60000
+    alphabet = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_0123456789",
+        np.uint8)
+    words = []
+    for _ in range(vocab_n):
+        ln = int(rng.integers(3, 12))
+        words.append(bytes(rng.choice(alphabet, ln)))
+    zipf = rng.zipf(1.3, size=mb * 220000) % vocab_n
+    out = bytearray()
+    target = mb << 20
+    i = 0
+    while len(out) < target and i < len(zipf):
+        title = words[int(zipf[i])]
+        if rng.random() < 0.5 and i + 1 < len(zipf):
+            title = title + b"_" + words[int(zipf[i + 1])]
+            i += 1
+        out += title + b"\n"
+        i += 1
+    return bytes(out[:target])
+
+
+def time_best(fn, repeats: int = 2):
+    best = float("inf")
+    result = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        result = fn()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    return result, best
+
+
+def main() -> None:
+    mb = int(os.environ.get("BENCH_MB", "32"))
+    engine = os.environ.get("BENCH_ENGINE", "tpu")
+    data = make_corpus(mb)
+    nbytes = len(data)
+    gb = nbytes / 1e9
+
+    from libflate_tpu.formats import pgzf
+    from libflate_tpu import native
+
+    extra = {"corpus_mib": mb, "engine": engine,
+             "devices": None, "ratio": None}
+    try:
+        import jax
+        extra["devices"] = [str(d) for d in jax.devices()]
+    except Exception:
+        pass
+
+    member_size = 64 * 1024
+
+    if engine == "native" or not _device_ok():
+        # host-native fallback benchmark
+        enc, enc_t = time_best(
+            lambda: native.deflate_greedy(data, block_size=member_size))
+        out, dec_t = time_best(
+            lambda: native.inflate(enc, initial_cap=nbytes + 1024)[0])
+        assert out == data
+        ratio = len(enc) / nbytes
+        value = gb / dec_t
+        extra.update(ratio=round(ratio, 4),
+                     encode_gbps=round(gb / enc_t, 4),
+                     engine="native")
+    else:
+        # device pipeline: encode once for the stream, then time both
+        stream = pgzf.compress(data, member_size=member_size)
+        ratio = len(stream) / nbytes
+        extra["ratio"] = round(ratio, 4)
+
+        _, enc_t = time_best(
+            lambda: pgzf.compress(data, member_size=member_size))
+        extra["encode_gbps"] = round(gb / enc_t, 4)
+
+        out, dec_t = time_best(lambda: pgzf.decompress(stream))
+        assert out == data, "bench round-trip mismatch"
+        value = gb / dec_t
+
+    baseline = 0.205   # libflate DEFLATE decode GB/s (BASELINE.md)
+    print(json.dumps({
+        "metric": "deflate_decode_throughput",
+        "value": round(value, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(value / baseline, 3),
+        "extra": extra,
+    }))
+
+
+def _device_ok() -> bool:
+    try:
+        import jax
+        jax.devices()
+        return True
+    except Exception:
+        return False
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -170,7 +170,8 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
     import jax.numpy as jnp
 
     from ..ops.checksum import crc32_batch_jax
-    from ..ops.deflate_decode import (decode_symbols, expand_tokens_device,
+    from ..ops.deflate_decode import (decode_symbols_chunked,
+                                      expand_tokens_device,
                                       tables_from_lengths)
     from ..serial.bitio import BitReader
     from ..serial.deflate import DeflateError, read_dynamic_header_lengths
@@ -224,7 +225,7 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
 
     lit_t, dist_t = tables_from_lengths(jnp.asarray(lit_ls),
                                         jnp.asarray(dist_ls))
-    a, b, nt, end_bit, err = decode_symbols(
+    a, b, nt, end_bit, err = decode_symbols_chunked(
         jnp.asarray(words), jnp.asarray(starts), lit_t, dist_t,
         out_cap + 2)
     if bool(np.asarray(err).any()):

@@ -46,6 +46,87 @@ def _peek(words: jnp.ndarray, pos: jnp.ndarray, nbits: int = 15
     return ((lo | hi) & ((1 << nbits) - 1)).astype(jnp.int32)
 
 
+def _symbol_step(words, pos, lit_table, dist_table):
+    """Decode one symbol per stream (vmapped): shared scan body."""
+
+    def per_stream(wrds, p, lt, dt):
+        e = lt[_peek(wrds, p)]
+        width = e & 15
+        sym = e >> 4
+        bad = width == 0
+        p1 = p + width
+        is_len = sym > 256
+        li = jnp.clip(sym - 257, 0, 28)
+        nb = _LEN_EXTRA[li]
+        extra = _peek(wrds, p1) & ((1 << nb) - 1)
+        length = _LEN_BASE[li] + extra
+        p2 = p1 + jnp.where(is_len, nb, 0)
+        de = dt[_peek(wrds, p2)]
+        dwidth = de & 15
+        dsym = jnp.clip(de >> 4, 0, 29)
+        dbad = is_len & (dwidth == 0)
+        p3 = p2 + jnp.where(is_len, dwidth, 0)
+        dnb = _DIST_EXTRA[dsym]
+        dextra = _peek(wrds, p3) & ((1 << dnb) - 1)
+        dist = _DIST_BASE[dsym] + dextra
+        p4 = p3 + jnp.where(is_len, dnb, 0)
+        a = jnp.where(is_len, length, sym)
+        b = jnp.where(is_len, dist, 0)
+        return a, b, p4, sym == 256, bad | dbad
+
+    return jax.vmap(per_stream)(words, pos, lit_table, dist_table)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tokens", "chunk"))
+def decode_symbols_chunked(words: jnp.ndarray, start_bit: jnp.ndarray,
+                           lit_table: jnp.ndarray, dist_table: jnp.ndarray,
+                           max_tokens: int, chunk: int = 4096):
+    """decode_symbols with early exit: chunks of ``chunk`` scan steps run
+    under a while_loop that stops once every stream hit its EOB.  Wall
+    time tracks the *actual* longest token stream instead of the static
+    worst case — matters when out_cap ≫ typical member token count."""
+    bsz = words.shape[0]
+    n_chunks = -(-max_tokens // chunk)
+    t_pad = n_chunks * chunk
+
+    def inner_step(carry, _):
+        pos, done, err = carry
+        a, b, new_pos, is_eob, bad = _symbol_step(words, pos, lit_table,
+                                                  dist_table)
+        active = ~(done | err)
+        emit_valid = active & ~is_eob & ~bad
+        pos = jnp.where(active, new_pos, pos)
+        err = err | (active & bad)
+        done = done | (active & is_eob)
+        return (pos, done, err), (jnp.where(emit_valid, a, 0),
+                                  jnp.where(emit_valid, b, 0), emit_valid)
+
+    def cond(state):
+        (_, done, err), _aa, _bb, _vv, ci = state
+        return (ci < n_chunks) & jnp.any(~(done | err))
+
+    def body(state):
+        carry, aa, bb, vv, ci = state
+        carry, (ca, cb, cv) = jax.lax.scan(inner_step, carry, None,
+                                           length=chunk)
+        col = ci * chunk
+        aa = jax.lax.dynamic_update_slice(aa, jnp.transpose(ca), (0, col))
+        bb = jax.lax.dynamic_update_slice(bb, jnp.transpose(cb), (0, col))
+        vv = jax.lax.dynamic_update_slice(vv, jnp.transpose(cv), (0, col))
+        return carry, aa, bb, vv, ci + 1
+
+    init_carry = (start_bit.astype(jnp.int32),
+                  jnp.zeros((bsz,), jnp.bool_),
+                  jnp.zeros((bsz,), jnp.bool_))
+    a0 = jnp.zeros((bsz, t_pad), jnp.int32)
+    v0 = jnp.zeros((bsz, t_pad), jnp.bool_)
+    (pos, done, err), a, b, vv, _ = jax.lax.while_loop(
+        cond, body, (init_carry, a0, a0, v0, jnp.int32(0)))
+    n_tokens = jnp.sum(vv.astype(jnp.int32), axis=1)
+    err = err | ~done
+    return (a[:, :max_tokens], b[:, :max_tokens], n_tokens, pos, err)
+
+
 @functools.partial(jax.jit, static_argnames=("max_tokens",))
 def decode_symbols(words: jnp.ndarray, start_bit: jnp.ndarray,
                    lit_table: jnp.ndarray, dist_table: jnp.ndarray,

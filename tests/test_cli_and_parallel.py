@@ -1,0 +1,104 @@
+"""CLI tool + multi-device sharding tests (8 virtual CPU devices)."""
+import gzip as pygzip
+import io
+import subprocess
+import sys
+import zlib as pyzlib
+
+import numpy as np
+import pytest
+
+from libflate_tpu.cli import main as cli_main
+
+
+class TestCli:
+    def _run(self, args, data: bytes, tmp_path) -> bytes:
+        inp = tmp_path / "in.bin"
+        out = tmp_path / "out.bin"
+        inp.write_bytes(data)
+        rc = cli_main(["-i", str(inp), "-o", str(out), "--engine",
+                       "serial"] + args)
+        assert rc == 0
+        return out.read_bytes()
+
+    def test_copy(self, tmp_path):
+        assert self._run(["copy"], b"payload", tmp_path) == b"payload"
+
+    def test_gzip_roundtrip(self, tmp_path):
+        data = b"cli gzip " * 100
+        gz = self._run(["gzip-encode"], data, tmp_path)
+        assert pygzip.decompress(gz) == data
+        assert self._run(["gzip-decode"], gz, tmp_path) == data
+
+    def test_gzip_multi(self, tmp_path):
+        gz = pygzip.compress(b"a") + pygzip.compress(b"b")
+        assert self._run(["gzip-decode-multi"], gz, tmp_path) == b"ab"
+
+    def test_zlib_roundtrip(self, tmp_path):
+        data = b"cli zlib " * 100
+        z = self._run(["zlib-encode"], data, tmp_path)
+        assert pyzlib.decompress(z) == data
+        assert self._run(["zlib-decode"], z, tmp_path) == data
+
+    def test_pgzf_roundtrip(self, tmp_path):
+        data = b"cli pgzf " * 500
+        z = self._run(["pgzf-encode", "--member-size", "2048"], data,
+                      tmp_path)
+        assert pygzip.decompress(z) == data
+        assert self._run(["pgzf-decode"], z, tmp_path) == data
+
+    def test_byte_read(self, tmp_path):
+        assert self._run(["byte-read", "--unit", "7"], b"x" * 100,
+                         tmp_path) == b""
+
+
+class TestSharded:
+    def test_mesh_has_8_devices(self):
+        import jax
+        assert len(jax.devices()) == 8
+
+    def test_encode_blocks_sharded_roundtrip(self):
+        import zlib as pz
+        from libflate_tpu.ops.deflate_encode import splice_blocks_host
+        from libflate_tpu.parallel.mesh import make_mesh
+        from libflate_tpu.parallel.sharding import encode_blocks_sharded
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        bsz, n = 8, 2048
+        blocks = rng.integers(0, 16, (bsz, n), dtype=np.uint8)
+        n_valid = np.full((bsz,), n, np.int32)
+        bfinal = np.ones((bsz,), np.int32)
+        words, bits = encode_blocks_sharded(blocks, n_valid, bfinal, mesh)
+        for i in range(bsz):
+            body = splice_blocks_host(words[i:i + 1], bits[i:i + 1])
+            d = pz.decompressobj(-15)
+            assert d.decompress(body) == blocks[i].tobytes()
+
+    def test_dryrun_multichip(self):
+        sys.path.insert(0, ".")
+        try:
+            import __graft_entry__ as g
+        finally:
+            sys.path.pop(0)
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import jax
+        sys.path.insert(0, ".")
+        try:
+            import __graft_entry__ as g
+        finally:
+            sys.path.pop(0)
+        fn, args = g.entry()
+        words, bits = jax.jit(fn)(*args)
+        assert words.shape[0] == 8
+
+    def test_combine_shard_crcs(self):
+        from libflate_tpu.parallel.sharding import combine_shard_crcs
+        from libflate_tpu.utils.checksum import crc32
+        data = np.random.default_rng(1).integers(
+            0, 256, 8192, dtype=np.uint8).tobytes()
+        shards = [data[i:i + 1024] for i in range(0, len(data), 1024)]
+        crcs = [crc32(s) for s in shards]
+        assert combine_shard_crcs(crcs, [1024] * 8) == pyzlib.crc32(data)
