@@ -87,6 +87,85 @@ def _encoder_tables(lengths: jnp.ndarray):
     return reverse_codes_jax(codes, lengths), lengths
 
 
+def rle_code_lengths_jax(seq: jnp.ndarray):
+    """Vectorized RFC-1951 §3.2.7 code-length RLE.
+
+    Position-parallel formulation of the reference's run builder
+    (src/deflate/symbol.rs:486-540): every input position emits at most
+    one (clc_symbol, extra, n_extra) field; non-emitting positions get
+    the sentinel symbol -1.  Runs are found with a diff+segmented-scan;
+    the 16/17/18 chunking within a run is pure per-position arithmetic
+    on (value, run length, offset-in-run).
+
+    Returns (sym (N,), extra (N,), n_extra (N,)) with sym == -1 for holes.
+    """
+    n = seq.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_run = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                               seq[1:] != seq[:-1]])
+    # start index of each position's run via running max of start marks
+    start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_run, idx, 0))
+    k = idx - start_idx                                   # offset in run
+    # run length: scatter-count by start index, gathered back
+    run_len = jnp.zeros((n,), jnp.int32).at[start_idx].add(1)[start_idx]
+    v = seq
+
+    # ---- zero runs: 18-chunks (11..138), then 17 (3..10), else literals
+    m = run_len
+    c18 = m // 138
+    rem_a = m - c18 * 138
+    # after the full-138 chunks: one more 18 if rem >= 11, else one 17 if
+    # rem >= 3, else rem literal zeros
+    extra18_chunk = rem_a >= 11
+    use17 = (rem_a >= 3) & (rem_a < 11)
+    chunk_of_k = k // 138
+    j_in_chunk = k % 138
+    in_full18 = chunk_of_k < c18
+    in_extra18 = (chunk_of_k == c18) & extra18_chunk
+    zero_sym = jnp.where(
+        (j_in_chunk == 0) & in_full18, 18,
+        jnp.where((j_in_chunk == 0) & in_extra18, 18,
+                  jnp.where((chunk_of_k == c18) & use17 & (j_in_chunk == 0),
+                            17,
+                            jnp.where((chunk_of_k == c18) & ~extra18_chunk
+                                      & ~use17, 0, -1))))
+    zero_extra = jnp.where(
+        (j_in_chunk == 0) & in_full18, 138 - 11,
+        jnp.where((j_in_chunk == 0) & in_extra18, rem_a - 11,
+                  jnp.where(use17, rem_a - 3, 0)))
+    zero_nbits = jnp.where(zero_sym == 18, 7,
+                           jnp.where(zero_sym == 17, 3, 0))
+
+    # ---- nonzero runs: leading literal, then 16-chunks of 3..6, tail
+    # literals when the remainder is < 3
+    m2 = run_len - 1                       # repeats after the literal
+    kk = k - 1                             # offset among the repeats
+    c6 = m2 // 6
+    rem_b = m2 - c6 * 6
+    chunk6 = kk // 6
+    j6 = kk % 6
+    in_full6 = chunk6 < c6
+    tail_is_16 = rem_b >= 3
+    nz_sym = jnp.where(
+        k == 0, v,
+        jnp.where((j6 == 0) & in_full6, 16,
+                  jnp.where((chunk6 == c6) & tail_is_16 & (j6 == 0), 16,
+                            jnp.where((chunk6 == c6) & ~tail_is_16, v,
+                                      -1))))
+    nz_extra = jnp.where((j6 == 0) & in_full6, 6 - 3,
+                         jnp.where((chunk6 == c6) & tail_is_16, rem_b - 3,
+                                   0))
+    nz_extra = jnp.where(nz_sym == 16, nz_extra, 0)
+    nz_nbits = jnp.where(nz_sym == 16, 2, 0)
+
+    is_zero = v == 0
+    sym = jnp.where(is_zero, zero_sym, nz_sym)
+    extra = jnp.where(is_zero, zero_extra, nz_extra)
+    nbits = jnp.where(is_zero, zero_nbits, nz_nbits)
+    return sym, extra, nbits
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
 def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
                         n_tokens: jnp.ndarray, bfinal: jnp.ndarray,
@@ -118,9 +197,11 @@ def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
     # ---- header fields -----------------------------------------------------
     if block_type == "dynamic":
         lengths_seq = jnp.concatenate([lit_lengths, dist_lengths])  # (316,)
+        rle_sym, rle_extra, rle_nbits = rle_code_lengths_jax(lengths_seq)
+        emitted = rle_sym >= 0
         clc_freq = jnp.sum(
-            (lengths_seq[:, None] ==
-             jnp.arange(N_CLC)[None, :]).astype(jnp.int32), axis=0)
+            ((rle_sym[:, None] == jnp.arange(N_CLC)[None, :]) &
+             emitted[:, None]).astype(jnp.int32), axis=0)
         clc_lengths = package_merge_lengths(clc_freq, C.MAX_CLC_BITWIDTH)
         clc_rev, clc_w = _encoder_tables(clc_lengths)
 
@@ -135,8 +216,11 @@ def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
             jnp.asarray([3, 5, 5, 4], jnp.int32),
             jnp.full((N_CLC,), 3, jnp.int32),
         ])
-        len_vals = clc_rev[lengths_seq]
-        len_widths = clc_w[lengths_seq]
+        sym_c = jnp.clip(rle_sym, 0, N_CLC - 1)
+        cw = clc_w[sym_c]
+        len_vals = jnp.where(emitted,
+                             clc_rev[sym_c] | (rle_extra << cw), 0)
+        len_widths = jnp.where(emitted, cw + rle_nbits, 0)
     else:
         pad_h = N_HEADER_FIELDS - 1
         hdr_vals = jnp.concatenate([
