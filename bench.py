@@ -59,10 +59,17 @@ def time_best(fn, repeats: int = 2):
     return result, best
 
 
+def _log(msg: str) -> None:
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
     mb = int(os.environ.get("BENCH_MB", "32"))
     engine = os.environ.get("BENCH_ENGINE", "tpu")
+    _log(f"generating {mb} MiB corpus")
     data = make_corpus(mb)
+    _log("corpus ready")
     nbytes = len(data)
     gb = nbytes / 1e9
 
@@ -73,6 +80,9 @@ def main() -> None:
              "devices": None, "ratio": None}
     try:
         import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
         extra["devices"] = [str(d) for d in jax.devices()]
     except Exception:
         pass
@@ -93,17 +103,21 @@ def main() -> None:
                      engine="native")
     else:
         # device pipeline: encode once for the stream, then time both
+        _log("device encode (compile + run)")
         stream = pgzf.compress(data, member_size=member_size)
         ratio = len(stream) / nbytes
         extra["ratio"] = round(ratio, 4)
+        _log(f"encoded: ratio {ratio:.4f}; timing encode")
 
         _, enc_t = time_best(
             lambda: pgzf.compress(data, member_size=member_size))
         extra["encode_gbps"] = round(gb / enc_t, 4)
+        _log(f"encode {gb / enc_t:.3f} GB/s; device decode")
 
         out, dec_t = time_best(lambda: pgzf.decompress(stream))
         assert out == data, "bench round-trip mismatch"
         value = gb / dec_t
+        _log(f"decode {value:.3f} GB/s")
 
     baseline = 0.205   # libflate DEFLATE decode GB/s (BASELINE.md)
     print(json.dumps({

@@ -97,8 +97,9 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
         n_valid[i] = len(chunk)
     bfinal = np.ones((b_pad,), np.int32)      # every member: 1 final block
 
+    btype = "auto" if opts.block_type == "dynamic" else opts.block_type
     words, bits = _encode_batch(jnp.asarray(blocks), jnp.asarray(n_valid),
-                                jnp.asarray(bfinal), opts.block_type)
+                                jnp.asarray(bfinal), btype)
     words = np.asarray(words)
     bits = np.asarray(bits)
     # batched CRC over right-aligned rows
@@ -109,9 +110,18 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
             right[i, member_size - ln:] = blocks[i, :ln]
     crcs = crc32_batch_jax(jnp.asarray(right), n_valid)
 
+    from ..serial.deflate import deflate as serial_deflate
+
     out = bytearray()
     for i in range(n_members):
         body = splice_blocks_host(words[i:i + 1], bits[i:i + 1])
+        nv = int(n_valid[i])
+        stored_size = nv + 5 * max(1, -(-nv // C.MAX_STORED_BLOCK))
+        if len(body) >= stored_size:
+            # incompressible member: stored blocks beat entropy coding
+            raw_member = raw[i * member_size:i * member_size + nv].tobytes()
+            body = serial_deflate(raw_member,
+                                  EncodeOptions(block_type="stored"))
         member = bytearray(_member_header(0))
         member += body
         member += struct.pack("<II", int(crcs[i]), int(n_valid[i]))
@@ -189,6 +199,7 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
         max_body = max(max_body, ref.end - 8 - ref.body)
 
     from .. import native
+    host_members: dict[int, bytes] = {}
     if native.available():
         bodies = b"".join(data[ref.body:ref.end - 8] for ref in refs)
         offs = np.zeros(bsz + 1, np.uint64)
@@ -196,11 +207,17 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
             offs[i + 1] = offs[i] + (ref.end - 8 - ref.body)
         lit_ls, dist_ls, starts64, flags = native.parse_dyn_headers(
             bodies, offs)
-        if not ((flags == (1 | (C.BTYPE_DYNAMIC << 1))).all()):
-            raise ImportError("non-canonical member layout")
         starts = starts64.astype(np.int32)
+        # members that aren't a single final compressed block (e.g. the
+        # stored fallback for incompressible chunks) decode host-side
+        device_ok = ((flags == (1 | (C.BTYPE_DYNAMIC << 1))) |
+                     (flags == (1 | (C.BTYPE_FIXED << 1))))
+        for i in np.nonzero(~device_ok)[0]:
+            body = data[refs[i].body:refs[i].end - 8]
+            host_members[int(i)], _ = native.inflate(
+                body, initial_cap=int(isizes[i]) + 64)
     else:
-        lit_ls = np.zeros((bsz, C.MAX_LITLEN_SYMBOLS), np.int32)
+        lit_ls = np.zeros((bsz, 288), np.int32)
         dist_ls = np.zeros((bsz, C.MAX_DIST_SYMBOLS), np.int32)
         starts = np.zeros((bsz,), np.int32)
         for i, ref in enumerate(refs):
@@ -211,48 +228,87 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
             if not final or btype != C.BTYPE_DYNAMIC:
                 # not our single-dynamic-block shape: fall back entirely
                 raise ImportError("non-canonical member layout")
-            lit_ls[i], dist_ls[i] = read_dynamic_header_lengths(r)
+            lit_ls[i, :C.MAX_LITLEN_SYMBOLS], dist_ls[i] = \
+                read_dynamic_header_lengths(r)
             starts[i] = r.bit_position
 
     out_cap = int(isizes.max(initial=1)) or 1
     out_cap = 1 << max(8, (out_cap - 1).bit_length())
-    w = max_body // 4 + 4
-    words = np.zeros((bsz, w), np.uint32)
-    for i, ref in enumerate(refs):
-        body = data[ref.body:ref.end - 8]
-        arr = np.frombuffer(body + b"\x00" * ((-len(body)) % 4), np.uint8)
-        words[i, :len(arr) // 4] = arr.view("<u4")
 
-    lit_t, dist_t = tables_from_lengths(jnp.asarray(lit_ls),
-                                        jnp.asarray(dist_ls))
-    a, b, nt, end_bit, err = decode_symbols_chunked(
-        jnp.asarray(words), jnp.asarray(starts), lit_t, dist_t,
-        out_cap + 2)
-    if bool(np.asarray(err).any()):
-        bad = int(np.argmax(np.asarray(err)))
-        raise DeflateError(f"invalid Huffman code in member {bad}")
-    out, n_out, xerr = expand_tokens_device(a, b, nt, out_cap)
-    if bool(np.asarray(xerr).any()):
-        bad = int(np.argmax(np.asarray(xerr)))
-        raise DeflateError(f"bad back-reference in member {bad}")
-    out_np = np.asarray(out)
-    n_out_np = np.asarray(n_out)
-    if (n_out_np != isizes).any():
-        bad = int(np.argmax(n_out_np != isizes))
-        raise GzipError(f"gzip ISIZE mismatch in member {bad}: "
-                        f"{int(isizes[bad])} != {int(n_out_np[bad])}")
-    if verify:
-        right = np.zeros_like(out_np)
-        for i in range(bsz):
-            ln = int(n_out_np[i])
-            if ln:
-                right[i, out_cap - ln:] = out_np[i, :ln]
-        crcs = crc32_batch_jax(jnp.asarray(right), n_out_np)
-        if (crcs != crcs_expected).any():
-            bad = int(np.argmax(crcs != crcs_expected))
-            raise GzipError(
-                f"gzip CRC mismatch in member {bad}: stream says "
-                f"{int(crcs_expected[bad]):#010x}, computed "
-                f"{int(crcs[bad]):#010x}")
-    return b"".join(out_np[i, :int(n_out_np[i])].tobytes()
-                    for i in range(bsz))
+    dev_idx = [i for i in range(bsz) if i not in host_members]
+    pieces: list[bytes | None] = [None] * bsz
+    for i, piece in host_members.items():
+        if len(piece) != int(isizes[i]):
+            raise GzipError(f"gzip ISIZE mismatch in member {i}")
+        pieces[i] = piece
+
+    if dev_idx:
+        db = len(dev_idx)
+        db_pad = 1 << max(0, (db - 1).bit_length())
+        w = max_body // 4 + 4
+        words = np.zeros((db_pad, w), np.uint32)
+        d_starts = np.full((db_pad,), 3, np.int32)
+        d_lit = np.zeros((db_pad, lit_ls.shape[1]), np.int32)
+        d_dist = np.zeros((db_pad, C.MAX_DIST_SYMBOLS), np.int32)
+        # padding rows decode an empty final fixed block ("\x03\x00")
+        fixed_l = np.asarray(C.fixed_litlen_lengths(),
+                             np.int32)[:lit_ls.shape[1]]
+        d_lit[:] = fixed_l
+        d_dist[:] = 5
+        words[:, 0] = 0x0003
+        for k, i in enumerate(dev_idx):
+            ref = refs[i]
+            body = data[ref.body:ref.end - 8]
+            arr = np.frombuffer(body + b"\x00" * ((-len(body)) % 4),
+                                np.uint8)
+            words[k] = 0
+            words[k, :len(arr) // 4] = arr.view("<u4")
+            d_starts[k] = starts[i]
+            d_lit[k] = lit_ls[i]
+            d_dist[k] = dist_ls[i]
+
+        lit_t, dist_t = tables_from_lengths(jnp.asarray(d_lit),
+                                            jnp.asarray(d_dist))
+        a, b, nt, end_bit, err = decode_symbols_chunked(
+            jnp.asarray(words), jnp.asarray(d_starts), lit_t, dist_t,
+            out_cap + 2)
+        err_np = np.asarray(err)
+        if err_np[:db].any():
+            bad = dev_idx[int(np.argmax(err_np[:db]))]
+            raise DeflateError(f"invalid Huffman code in member {bad}")
+        out, n_out, xerr = expand_tokens_device(a, b, nt, out_cap)
+        xerr_np = np.asarray(xerr)
+        if xerr_np[:db].any():
+            bad = dev_idx[int(np.argmax(xerr_np[:db]))]
+            raise DeflateError(f"bad back-reference in member {bad}")
+        out_np = np.asarray(out)
+        n_out_np = np.asarray(n_out)
+        for k, i in enumerate(dev_idx):
+            if int(n_out_np[k]) != int(isizes[i]):
+                raise GzipError(
+                    f"gzip ISIZE mismatch in member {i}: "
+                    f"{int(isizes[i])} != {int(n_out_np[k])}")
+        if verify:
+            right = np.zeros_like(out_np)
+            for k in range(db):
+                ln = int(n_out_np[k])
+                if ln:
+                    right[k, out_cap - ln:] = out_np[k, :ln]
+            crcs = crc32_batch_jax(jnp.asarray(right), n_out_np)
+            for k, i in enumerate(dev_idx):
+                if int(crcs[k]) != int(crcs_expected[i]):
+                    raise GzipError(
+                        f"gzip CRC mismatch in member {i}: stream says "
+                        f"{int(crcs_expected[i]):#010x}, computed "
+                        f"{int(crcs[k]):#010x}")
+        for k, i in enumerate(dev_idx):
+            pieces[i] = out_np[k, :int(n_out_np[k])].tobytes()
+
+    if verify and host_members:
+        from ..utils.checksum import crc32 as host_crc32
+        eng_crc = native.crc32 if native.available() else host_crc32
+        for i, piece in host_members.items():
+            if eng_crc(piece) != int(crcs_expected[i]):
+                raise GzipError(f"gzip CRC mismatch in member {i}")
+
+    return b"".join(pieces)  # type: ignore[arg-type]

@@ -160,15 +160,16 @@ def deflate_greedy(data: bytes, block_size: int = 1 << 20,
 def parse_dyn_headers(bodies: bytes, offsets: np.ndarray):
     """Batch-parse member block headers.
 
-    Returns (lit_lengths (B,286), dist_lengths (B,30), start_bits (B,),
+    Returns (lit_lengths (B,288), dist_lengths (B,30), start_bits (B,),
     flags (B,)).  Raises DeflateError with the member index on failure.
+    The 288-wide literal rows carry the full fixed alphabet.
     """
     from ..serial.deflate import DeflateError
     lib = load()
     b = len(offsets) - 1
     buf = np.frombuffer(bytes(bodies) + b"\x00", np.uint8)
     offs = np.ascontiguousarray(offsets, np.uint64)
-    lit = np.zeros((b, 286), np.int32)
+    lit = np.zeros((b, 288), np.int32)
     dist = np.zeros((b, 30), np.int32)
     starts = np.zeros(b, np.int64)
     flags = np.zeros(b, np.int32)

@@ -343,6 +343,8 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
 //   bodies: concatenated member payloads; offsets[i]..offsets[i+1] per member
 //   outputs: lit_lengths (B*286), dist_lengths (B*30), start_bits (B)
 // ---------------------------------------------------------------------------
+// lit_lengths stride is 288 (full fixed alphabet incl. symbols 286/287,
+// which shift the canonical 9-bit range); dynamic headers fill <= 286.
 int lf_parse_dyn_headers(const uint8_t* bodies, const uint64_t* offsets,
                          int32_t batch, int32_t* lit_lengths,
                          int32_t* dist_lengths, int64_t* start_bits,
@@ -355,15 +357,17 @@ int lf_parse_dyn_headers(const uint8_t* bodies, const uint64_t* offsets,
         int btype = bi_read(&b, 2);
         if (b.overrun) return -(i * 100 + 1);
         flags[i] = final_ | (btype << 1);
+        int32_t* lit_row = lit_lengths + (int64_t)i * 288;
         if (btype == 2) {
-            int rc = parse_dyn_header(&b, lit_lengths + (int64_t)i * 286,
+            lit_row[286] = 0; lit_row[287] = 0;
+            int rc = parse_dyn_header(&b, lit_row,
                                       dist_lengths + (int64_t)i * 30);
             if (rc) return -(i * 100 - rc);
         } else if (btype == 1) {
-            int32_t ll[288];
-            fixed_lit_lengths(ll);
-            memcpy(lit_lengths + (int64_t)i * 286, ll, 286 * sizeof(int32_t));
+            fixed_lit_lengths(lit_row);
             for (int k = 0; k < 30; k++) dist_lengths[(int64_t)i * 30 + k] = 5;
+        } else if (btype == 0) {
+            // stored member: caller handles it host-side via flags
         } else {
             return -(i * 100 + 9);
         }

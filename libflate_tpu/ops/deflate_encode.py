@@ -104,8 +104,9 @@ def rle_code_lengths_jax(seq: jnp.ndarray):
     new_run = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                seq[1:] != seq[:-1]])
     # start index of each position's run via running max of start marks
-    start_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(new_run, idx, 0))
+    # (lax.cummax is a primitive — associative_scan's sliced log-depth
+    # graph costs ~45 s of XLA TPU compile time for no runtime benefit)
+    start_idx = jax.lax.cummax(jnp.where(new_run, idx, 0))
     k = idx - start_idx                                   # offset in run
     # run length: scatter-count by start index, gathered back
     run_len = jnp.zeros((n,), jnp.int32).at[start_idx].add(1)[start_idx]
@@ -174,7 +175,16 @@ def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
 
     Returns (values, widths): shape (N_HEADER_FIELDS + N_LENGTH_FIELDS +
     2*M + 1,) — header fields have width 0 for fixed blocks.
+
+    ``block_type="auto"`` builds both dynamic and fixed streams (the
+    expensive parts — histograms + package-merge — are shared) and
+    selects whichever is smaller in total bits, per block.
     """
+    if block_type == "auto":
+        dv, dw = encode_block_fields(a, b, n_tokens, bfinal, "dynamic")
+        fv, fw = encode_block_fields(a, b, n_tokens, bfinal, "fixed")
+        use_dyn = jnp.sum(dw) <= jnp.sum(fw)
+        return (jnp.where(use_dyn, dv, fv), jnp.where(use_dyn, dw, fw))
     m = a.shape[0]
     valid = jnp.arange(m, dtype=jnp.int32) < n_tokens
     lit_sym, dist_sym, is_match = token_symbols(a, b, valid)
@@ -257,10 +267,13 @@ def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
     return values, widths
 
 
-@functools.partial(jax.jit, static_argnames=("block_type",))
 def encode_block(a: jnp.ndarray, b: jnp.ndarray, n_tokens: jnp.ndarray,
                  bfinal: jnp.ndarray, block_type: str = "dynamic"):
-    """Encode one block: returns (words (W,) uint32, total_bits)."""
+    """Encode one block: returns (words (W,) uint32, total_bits).
+
+    Two jit stages on purpose — see ops/pipeline._encode_batch for the
+    XLA compile-time rationale.
+    """
     values, widths = encode_block_fields(a, b, n_tokens, bfinal, block_type)
     return pack_fields(values, widths)
 

@@ -27,17 +27,39 @@ from .lz77 import tokenize_block
 DEVICE_BLOCK_SIZE = 64 * 1024
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _tokenize_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray):
+    n = blocks.shape[1]
+    return jax.vmap(lambda blk, nv: tokenize_block(blk, nv, n + 1))(
+        blocks, n_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
+def _fields_batch(a, b, cnt, bfinal, block_type: str):
+    from .deflate_encode import encode_block_fields
+    return jax.vmap(
+        lambda aa, bb, cc, ff: encode_block_fields(aa, bb, cc, ff,
+                                                   block_type)
+    )(a, b, cnt, bfinal)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pack_batch(values, widths):
+    from .bitpack import pack_fields
+    return jax.vmap(pack_fields)(values, widths)
+
+
 def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                   bfinal: jnp.ndarray, block_type: str):
-    """(B, n) uint8 blocks → (B, W) uint32 words + (B,) bit counts."""
-    n = blocks.shape[1]
+    """(B, n) uint8 blocks → (B, W) uint32 words + (B,) bit counts.
 
-    def one(block, nv, bf):
-        a, b, cnt = tokenize_block(block, nv, n + 1)
-        return encode_block(a, b, cnt, bf, block_type)
-
-    return jax.vmap(one)(blocks, n_valid, bfinal)
+    Three separate jit stages (tokenize / field build / bit pack): one
+    fused graph sends XLA-TPU compile time pathological (≈390 s for a
+    64 KiB block vs ≈20 s split), while steady-state cost is identical.
+    """
+    a, b, cnt = _tokenize_batch(blocks, n_valid)
+    values, widths = _fields_batch(a, b, cnt, bfinal, block_type)
+    return _pack_batch(values, widths)
 
 
 @functools.partial(jax.jit, static_argnames=("block_type",))

@@ -31,7 +31,7 @@ def _sharded_encode_fn(mesh_key, block_type: str):
     mesh = mesh_key
     sh = block_sharding(mesh)
     return jax.jit(
-        functools.partial(_encode_batch.__wrapped__, block_type=block_type),
+        functools.partial(_encode_batch, block_type=block_type),
         in_shardings=(sh, sh, sh),
         out_shardings=(sh, sh),
     )

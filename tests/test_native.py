@@ -110,7 +110,8 @@ class TestHeaderParse:
         lit, dist, starts, flags = native.parse_dyn_headers(
             bodies, np.array(offsets, np.uint64))
         for i, (el, ed, eb) in enumerate(expected):
-            assert (lit[i] == el).all()
+            assert (lit[i, :286] == el).all()
+            assert (lit[i, 286:] == 0).all()
             assert (dist[i] == ed).all()
             assert starts[i] == eb
             assert flags[i] == 1 | (2 << 1)
