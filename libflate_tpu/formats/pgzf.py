@@ -45,10 +45,20 @@ _SIZE_OFFSET = _HEADER_LEN - 4          # u32 sits at the end of EXTRA
 
 
 def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
-             options=None, engine: str | None = None) -> bytes:
-    """Compress into an indexed multi-member gzip stream."""
+             options=None, engine: str | None = None,
+             n_threads: int = 0) -> bytes:
+    """Compress into an indexed multi-member gzip stream.
+
+    Engines: "tpu" (device block-parallel), "native" (threaded C++),
+    None/"auto" (native if available, else device, else serial).
+    """
     data = bytes(data)
-    if engine in ("tpu", None):
+    if engine in ("native", None, "auto"):
+        try:
+            return _compress_native(data, member_size, n_threads)
+        except ImportError:
+            pass
+    if engine in ("tpu", None, "auto"):
         try:
             return _compress_device(data, member_size, options)
         except ImportError:
@@ -60,6 +70,28 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
         body = fgzip.compress(chunk, options=options, engine=engine)
         # re-wrap with indexed header
         member = _reheader(body, chunk)
+        out += member
+    return bytes(out)
+
+
+def _compress_native(data: bytes, member_size: int,
+                     n_threads: int = 0) -> bytes:
+    from .. import native
+    if not native.available():
+        raise ImportError("native engine unavailable")
+    n = len(data)
+    n_members = max(1, -(-n // member_size))
+    offs = np.zeros(n_members + 1, np.uint64)
+    for i in range(n_members):
+        offs[i + 1] = min(n, (i + 1) * member_size)
+    bodies, crcs = native.deflate_batch(data, offs, n_threads=n_threads)
+    out = bytearray()
+    for i in range(n_members):
+        nv = int(offs[i + 1] - offs[i])
+        member = bytearray(_member_header(0))
+        member += bodies[i]
+        member += struct.pack("<II", int(crcs[i]), nv)
+        struct.pack_into("<I", member, _SIZE_OFFSET, len(member))
         out += member
     return bytes(out)
 
@@ -97,9 +129,11 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
         n_valid[i] = len(chunk)
     bfinal = np.ones((b_pad,), np.int32)      # every member: 1 final block
 
-    btype = "auto" if opts.block_type == "dynamic" else opts.block_type
+    # dynamic-only on device: "auto" doubles the field-build cost, and
+    # the member-level stored fallback below already covers the
+    # incompressible case
     words, bits = _encode_batch(jnp.asarray(blocks), jnp.asarray(n_valid),
-                                jnp.asarray(bfinal), btype)
+                                jnp.asarray(bfinal), opts.block_type)
     words = np.asarray(words)
     bits = np.asarray(bits)
     # batched CRC over right-aligned rows
@@ -162,17 +196,48 @@ def index_members(data: bytes) -> list[MemberRef] | None:
 
 
 def decompress(data: bytes, engine: str | None = None,
-               verify: bool = True) -> bytes:
-    """Decompress a gzip stream; uses the parallel device path when the
-    LF index is present, else falls back to sequential MultiDecoder."""
+               verify: bool = True, n_threads: int = 0) -> bytes:
+    """Decompress a gzip stream; uses a member-parallel path (threaded
+    native or device batch) when the LF index is present, else falls
+    back to sequential MultiDecoder."""
     data = bytes(data)
     refs = index_members(data)
     if refs is None:
         return fgzip.decompress(data, engine=engine, multi=True)
+    if engine in ("native", None, "auto"):
+        try:
+            return _decompress_native(data, refs, verify, n_threads)
+        except ImportError:
+            pass
     try:
         return _decompress_device(data, refs, verify)
     except ImportError:
         return fgzip.decompress(data, engine=engine, multi=True)
+
+
+def _decompress_native(data: bytes, refs: list[MemberRef],
+                       verify: bool, n_threads: int = 0) -> bytes:
+    from .. import native
+    if not native.available():
+        raise ImportError("native engine unavailable")
+    bsz = len(refs)
+    bodies = b"".join(data[r.body:r.end - 8] for r in refs)
+    offs = np.zeros(bsz + 1, np.uint64)
+    isizes = np.zeros(bsz, np.uint64)
+    crcs_expected = np.zeros(bsz, np.uint32)
+    for i, r in enumerate(refs):
+        offs[i + 1] = offs[i] + (r.end - 8 - r.body)
+        crcs_expected[i], isizes[i] = struct.unpack_from("<II", data,
+                                                         r.end - 8)
+    out, crcs = native.inflate_batch(bodies, offs, isizes,
+                                     n_threads=n_threads)
+    if verify and (crcs != crcs_expected).any():
+        bad = int(np.argmax(crcs != crcs_expected))
+        raise fgzip.GzipError(
+            f"gzip CRC mismatch in member {bad}: stream says "
+            f"{int(crcs_expected[bad]):#010x}, computed "
+            f"{int(crcs[bad]):#010x}")
+    return out
 
 
 def _decompress_device(data: bytes, refs: list[MemberRef],

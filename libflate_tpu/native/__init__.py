@@ -73,6 +73,13 @@ def load():
         lib.lf_splice.restype = ctypes.c_int
         lib.lf_splice.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64,
                                   i64p, u8p, ctypes.c_uint64, u64p]
+        lib.lf_inflate_batch.restype = ctypes.c_int
+        lib.lf_inflate_batch.argtypes = [u8p, u64p, ctypes.c_int32, u8p,
+                                         u64p, u32p, ctypes.c_int32]
+        lib.lf_deflate_batch.restype = ctypes.c_int
+        lib.lf_deflate_batch.argtypes = [u8p, u64p, ctypes.c_int32, u8p,
+                                         ctypes.c_uint64, u64p, u32p,
+                                         ctypes.c_uint64, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -183,6 +190,59 @@ def parse_dyn_headers(bodies: bytes, offsets: np.ndarray):
         member = (-rc) // 100
         raise DeflateError(f"bad block header in member {member}")
     return lit, dist, starts, flags
+
+
+def inflate_batch(bodies: bytes, offsets: np.ndarray,
+                  out_sizes: np.ndarray, n_threads: int = 0):
+    """Decode independent DEFLATE bodies in parallel (thread pool).
+
+    offsets: (B+1,) uint64 extents into ``bodies``; out_sizes: (B,)
+    expected output sizes (gzip ISIZE).  Returns (out bytes, crcs (B,)).
+    Raises DeflateError naming the failing member.
+    """
+    from ..serial.deflate import DeflateError
+    lib = load()
+    b = len(offsets) - 1
+    buf = np.frombuffer(bytes(bodies) + b"\x00", np.uint8)
+    offs = np.ascontiguousarray(offsets, np.uint64)
+    out_offs = np.zeros(b + 1, np.uint64)
+    np.cumsum(np.asarray(out_sizes, np.uint64), out=out_offs[1:])
+    out = np.empty(int(out_offs[-1]) + 1, np.uint8)
+    crcs = np.zeros(b, np.uint32)
+    rc = lib.lf_inflate_batch(
+        _as_u8p(buf), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b, _as_u8p(out),
+        out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_threads)
+    if rc < 0:
+        raise DeflateError(f"decode failed in member {-rc - 1}")
+    return out[: int(out_offs[-1])].tobytes(), crcs
+
+
+def deflate_batch(data: bytes, chunk_offsets: np.ndarray,
+                  block_size: int = 1 << 20, n_threads: int = 0):
+    """Encode chunks of ``data`` as independent DEFLATE streams in
+    parallel.  Returns (list of compressed bodies, crcs (B,))."""
+    lib = load()
+    b = len(chunk_offsets) - 1
+    buf = np.frombuffer(bytes(data) + b"\x00", np.uint8)
+    offs = np.ascontiguousarray(chunk_offsets, np.uint64)
+    max_chunk = int(np.max(offs[1:] - offs[:-1], initial=1))
+    stride = max_chunk + max_chunk // 2 + 4096
+    dst = np.empty(b * stride, np.uint8)
+    sizes = np.zeros(b, np.uint64)
+    crcs = np.zeros(b, np.uint32)
+    rc = lib.lf_deflate_batch(
+        _as_u8p(buf), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b, _as_u8p(dst), stride,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        block_size, n_threads)
+    if rc < 0:
+        raise RuntimeError(f"encode failed in member {-rc - 1}")
+    bodies = [dst[i * stride: i * stride + int(sizes[i])].tobytes()
+              for i in range(b)]
+    return bodies, crcs
 
 
 def splice(words: np.ndarray, bits: np.ndarray) -> bytes:

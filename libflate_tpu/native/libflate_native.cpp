@@ -17,6 +17,9 @@
 #include <cstring>
 #include <cstdlib>
 #include <algorithm>
+#include <atomic>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -266,29 +269,41 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
             return -9;                     // reserved type
         } else {
             bool ok;
+            int lit_bits = 15, dist_bits = 15;
             if (btype == 1) {
                 int32_t ll[288], dl[30];
                 fixed_lit_lengths(ll);
                 for (int i = 0; i < 30; i++) dl[i] = 5;
-                ok = build_table(ll, 288, lit_table, 15)
-                  && build_table(dl, 30, dist_table, 15);
+                lit_bits = 9; dist_bits = 5;
+                ok = build_table(ll, 288, lit_table, lit_bits)
+                  && build_table(dl, 30, dist_table, dist_bits);
             } else {
                 int32_t ll[286], dl[30];
                 int rc = parse_dyn_header(&b, ll, dl);
                 if (rc) return rc;
                 bool any_dist = false;
-                for (int i = 0; i < 30; i++) any_dist |= dl[i] != 0;
-                ok = build_table(ll, 286, lit_table, 15);
+                int lmax = 1, dmax = 1;
+                for (int i = 0; i < 286; i++) if (ll[i] > lmax) lmax = ll[i];
+                for (int i = 0; i < 30; i++) {
+                    any_dist |= dl[i] != 0;
+                    if (dl[i] > dmax) dmax = dl[i];
+                }
+                // size tables to the actual max code length: building a
+                // 2^15 table per 64 KiB member would dominate decode time
+                lit_bits = lmax; dist_bits = dmax;
+                ok = build_table(ll, 286, lit_table, lit_bits);
                 if (ok) {
-                    if (any_dist) ok = build_table(dl, 30, dist_table, 15);
-                    else memset(dist_table, 0, sizeof(uint16_t) << 15);
+                    if (any_dist) ok = build_table(dl, 30, dist_table, dist_bits);
+                    else memset(dist_table, 0, sizeof(uint16_t) << dist_bits);
                 }
             }
             if (!ok) return -3;
+            const uint32_t lit_mask = (1u << lit_bits) - 1;
+            const uint32_t dist_mask = (1u << dist_bits) - 1;
             for (;;) {
                 // one refill covers the worst-case symbol: 15+5+15+13 <= 56
                 bi_fill(&b);
-                uint16_t e = lit_table[(uint32_t)(b.acc & 0x7FFF)];
+                uint16_t e = lit_table[(uint32_t)(b.acc & lit_mask)];
                 if (!e) return -3;
                 int w = e & 15;
                 if (b.nbits < w) return -1;
@@ -306,7 +321,7 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                     uint32_t length = LEN_BASE[li] +
                         (uint32_t)(b.acc & ((1u << le) - 1));
                     b.acc >>= le; b.nbits -= le;
-                    uint16_t de = dist_table[(uint32_t)(b.acc & 0x7FFF)];
+                    uint16_t de = dist_table[(uint32_t)(b.acc & dist_mask)];
                     if (!de) return -3;
                     int dw = de & 15;
                     b.acc >>= dw; b.nbits -= dw;
@@ -600,24 +615,38 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
     enc_luts_init();
     BitOut bo; bo_init(&bo, dst, cap);
     const int HB = 16;                      // 64K buckets over 3-byte hash
+    // epoch-stamped heads: no per-block 512 KiB memset (which would cost
+    // 8 bytes of writes per input byte at 64 KiB blocks)
     static thread_local int64_t head[1 << 16];
-    Tok* toks = (Tok*)malloc(sizeof(Tok) * (block_size + 1));
-    if (!toks) return -100;
+    static thread_local uint32_t head_epoch[1 << 16];
+    static thread_local uint32_t cur_epoch = 0;
+    static thread_local Tok* toks = nullptr;
+    static thread_local uint64_t toks_cap = 0;
+    if (toks_cap < block_size + 1) {
+        free(toks);
+        toks_cap = block_size + 1;
+        toks = (Tok*)malloc(sizeof(Tok) * toks_cap);
+        if (!toks) { toks_cap = 0; return -100; }
+    }
     uint64_t pos = 0;
     bool first = true;
     while (first || pos < n) {
         first = false;
         uint64_t bstart = pos;
         uint64_t bend = pos + block_size < n ? pos + block_size : n;
-        for (int i = 0; i < (1 << 16); i++) head[i] = -1;
+        if (++cur_epoch == 0) {             // u32 wrap: hard reset once
+            memset(head_epoch, 0, sizeof(head_epoch));
+            cur_epoch = 1;
+        }
         int64_t ntok = 0;
         uint64_t i = pos;
         while (i < bend) {
             if (i + 3 > bend) { toks[ntok].a = src[i]; toks[ntok].b_lo = 0; toks[ntok].b_hi = 0; ntok++; i++; continue; }
             uint32_t key = ((uint32_t)src[i] << 16) | ((uint32_t)src[i+1] << 8) | src[i+2];
             uint32_t h = (key * 2654435761u) >> (32 - HB);
-            int64_t cand = head[h];
+            int64_t cand = head_epoch[h] == cur_epoch ? head[h] : -1;
             head[h] = (int64_t)i;
+            head_epoch[h] = cur_epoch;
             bool matched = false;
             if (cand >= (int64_t)bstart && i - cand <= 32768) {
                 // verify key (hash buckets can collide)
@@ -632,7 +661,9 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
                     uint64_t stop = i + L < bend - 2 ? i + L : (bend >= 2 ? bend - 2 : 0);
                     for (uint64_t j = i + 1; j < stop; j++) {
                         uint32_t k2 = ((uint32_t)src[j] << 16) | ((uint32_t)src[j+1] << 8) | src[j+2];
-                        head[(k2 * 2654435761u) >> (32 - HB)] = (int64_t)j;
+                        uint32_t h2 = (k2 * 2654435761u) >> (32 - HB);
+                        head[h2] = (int64_t)j;
+                        head_epoch[h2] = cur_epoch;
                     }
                     i += L;
                     matched = true;
@@ -642,14 +673,87 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
         }
         int bfinal = (bend >= n && final_marker) ? 1 : 0;
         emit_block(&bo, toks, ntok, bfinal);
-        if (bo.overflow) { free(toks); return -8; }
+        if (bo.overflow) return -8;
         pos = bend;
     }
     bo_align(&bo);
-    free(toks);
     if (bo.overflow) return -8;
     *out_n = bo.pos;
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded member-parallel codec (the host runtime's scale-out path:
+// gzip members are embarrassingly parallel — SURVEY.md §2.3.2 — so the
+// native engine fans them out over a small thread pool)
+// ---------------------------------------------------------------------------
+
+// decode `batch` independent DEFLATE bodies into preallocated slots.
+// out_offsets[i]..out_offsets[i+1] is member i's expected output extent;
+// a member failing to decode or mismatching its size aborts with its index.
+int lf_inflate_batch(const uint8_t* bodies, const uint64_t* offsets,
+                     int32_t batch, uint8_t* out,
+                     const uint64_t* out_offsets, uint32_t* crcs,
+                     int32_t n_threads) {
+    crc_init();                        // single-threaded table init
+    std::atomic<int32_t> next{0};
+    std::atomic<int32_t> bad{-1};
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= batch || bad.load() >= 0) return;
+            uint64_t body_len = offsets[i + 1] - offsets[i];
+            uint64_t cap = out_offsets[i + 1] - out_offsets[i];
+            uint64_t on = 0, eb = 0;
+            int rc = lf_inflate(bodies + offsets[i], body_len,
+                                out + out_offsets[i], cap, &on, &eb);
+            if (rc != 0 || on != cap) { bad.store(i); return; }
+            if (crcs) crcs[i] = lf_crc32(out + out_offsets[i], on, 0);
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    return bad.load() >= 0 ? -(bad.load() + 1) : 0;
+}
+
+// encode `batch` chunks of `data` as independent DEFLATE streams.
+// Each member i gets the slot dst[i*stride .. (i+1)*stride); emits its
+// compressed size in out_sizes[i] and the chunk CRC in crcs[i].
+int lf_deflate_batch(const uint8_t* data, const uint64_t* chunk_offsets,
+                     int32_t batch, uint8_t* dst, uint64_t stride,
+                     uint64_t* out_sizes, uint32_t* crcs,
+                     uint64_t block_size, int32_t n_threads) {
+    crc_init();
+    enc_luts_init();                   // single-threaded LUT init
+    std::atomic<int32_t> next{0};
+    std::atomic<int32_t> bad{-1};
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= batch || bad.load() >= 0) return;
+            uint64_t n = chunk_offsets[i + 1] - chunk_offsets[i];
+            uint64_t on = 0;
+            int rc = lf_deflate_greedy(data + chunk_offsets[i], n,
+                                       dst + (uint64_t)i * stride, stride,
+                                       &on, block_size, 1);
+            if (rc != 0) { bad.store(i); return; }
+            out_sizes[i] = on;
+            if (crcs) crcs[i] = lf_crc32(data + chunk_offsets[i], n, 0);
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    return bad.load() >= 0 ? -(bad.load() + 1) : 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -253,10 +253,22 @@ def expand_tokens_device(a: jnp.ndarray, b: jnp.ndarray,
             src, lit = src_new, lit_new
         src = jnp.clip(src, 0, h + out_cap - 1)
 
-        # pointer doubling to the literal root (fori_loop keeps the
-        # graph small; XLA unrolling 16 chained gathers compiles slowly)
+        # pointer doubling to the literal root; adaptive: most chains
+        # resolve in a few rounds, so stop as soon as p is a fixpoint
+        # everywhere instead of always running the log2 worst case
         rounds = max(1, (h + out_cap).bit_length())
-        p = jax.lax.fori_loop(0, rounds, lambda _, pp: pp[pp], src)
+
+        def db_cond(state):
+            p, r, changed = state
+            return changed & (r < rounds)
+
+        def db_body(state):
+            p, r, _ = state
+            p2 = p[p]
+            return p2, r + 1, jnp.any(p2 != p)
+
+        p, _, _ = jax.lax.while_loop(
+            db_cond, db_body, (src, jnp.int32(0), jnp.bool_(True)))
         out = lit[p][h:]
         err = overflow | jnp.any(bad_dist)
         return out, jnp.minimum(n_out, out_cap), err
