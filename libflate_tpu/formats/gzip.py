@@ -169,6 +169,50 @@ class Header:
                    filename=filename, comment=comment), pos
 
 
+class CompressionLevel:
+    """Level presets mapping to matcher config + XFL bits
+    (parity: src/gzip.rs:57-92)."""
+    NONE = "none"
+    FAST = "fast"
+    BALANCE = "balance"
+    BEST = "best"
+
+    @staticmethod
+    def xfl(level: str) -> int:
+        return {CompressionLevel.FAST: C.GZIP_XFL_FASTEST,
+                CompressionLevel.BEST: C.GZIP_XFL_SLOWEST}.get(
+            level, C.GZIP_XFL_UNKNOWN)
+
+    @staticmethod
+    def options(level: str):
+        from ..serial.deflate import EncodeOptions
+        if level == CompressionLevel.NONE:
+            return EncodeOptions(block_type="stored", matcher="none")
+        if level == CompressionLevel.FAST:
+            return EncodeOptions(matcher="greedy")
+        if level == CompressionLevel.BEST:
+            return EncodeOptions(matcher="chain", max_chain=128, lazy=True)
+        return EncodeOptions()
+
+
+class EncodeOptions:
+    """gzip-level options (parity: gzip::EncodeOptions src/gzip.rs:637-751).
+
+    Wraps the DEFLATE options plus the header fields influenced by
+    level (XFL)."""
+
+    def __init__(self, level: str = CompressionLevel.BALANCE,
+                 deflate_options=None) -> None:
+        self.level = level
+        self.deflate_options = (deflate_options
+                                or CompressionLevel.options(level))
+
+    def header(self, base: Header | None = None) -> Header:
+        h = base or Header(mtime=0)
+        h.xfl = CompressionLevel.xfl(self.level)
+        return h
+
+
 class HeaderBuilder:
     """Builder mirroring the reference's HeaderBuilder (src/gzip.rs:126-288)."""
 
@@ -231,10 +275,19 @@ class Trailer:
 # ---------------------------------------------------------------------------
 def compress(data: bytes, options=None, header: Header | None = None,
              engine: str | None = None) -> bytes:
-    """Compress ``data`` into a single-member gzip stream."""
+    """Compress ``data`` into a single-member gzip stream.
+
+    ``options`` may be a gzip-level :class:`EncodeOptions` (level +
+    XFL mapping) or a raw DEFLATE EncodeOptions.
+    """
     eng = _backend.get(engine)
-    hdr = header or Header(mtime=0)
-    body = eng.deflate(data, options)
+    if isinstance(options, EncodeOptions):
+        hdr = options.header(header)
+        deflate_opts = options.deflate_options
+    else:
+        hdr = header or Header(mtime=0)
+        deflate_opts = options
+    body = eng.deflate(data, deflate_opts)
     trailer = Trailer(eng.crc32(data), len(data))
     return hdr.encode() + bytes(body) + trailer.encode()
 
