@@ -119,7 +119,11 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     n = len(data)
     raw = np.frombuffer(data, np.uint8)
     n_members = max(1, -(-n // member_size))
-    b_pad = 1 << (n_members - 1).bit_length()
+    # fixed device batch: every call compiles exactly one shape, reused
+    # for any input size (unbounded shapes made XLA recompile per size)
+    DEV_BATCH = 64
+    n_batches = -(-n_members // DEV_BATCH)
+    b_pad = n_batches * DEV_BATCH
 
     blocks = np.zeros((b_pad, member_size), np.uint8)
     n_valid = np.zeros((b_pad,), np.int32)
@@ -127,22 +131,30 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
         chunk = raw[i * member_size:(i + 1) * member_size]
         blocks[i, :len(chunk)] = chunk
         n_valid[i] = len(chunk)
-    bfinal = np.ones((b_pad,), np.int32)      # every member: 1 final block
+    bfinal = np.ones((DEV_BATCH,), np.int32)  # every member: 1 final block
 
     # dynamic-only on device: "auto" doubles the field-build cost, and
     # the member-level stored fallback below already covers the
     # incompressible case
-    words, bits = _encode_batch(jnp.asarray(blocks), jnp.asarray(n_valid),
-                                jnp.asarray(bfinal), opts.block_type)
-    words = np.asarray(words)
-    bits = np.asarray(bits)
-    # batched CRC over right-aligned rows
-    right = np.zeros_like(blocks)
-    for i in range(n_members):
-        ln = int(n_valid[i])
-        if ln:
-            right[i, member_size - ln:] = blocks[i, :ln]
-    crcs = crc32_batch_jax(jnp.asarray(right), n_valid)
+    words_l, bits_l, crcs_l = [], [], []
+    bfinal_j = jnp.asarray(bfinal)
+    for g in range(n_batches):
+        sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
+        w, bts = _encode_batch(jnp.asarray(blocks[sl]),
+                               jnp.asarray(n_valid[sl]), bfinal_j,
+                               opts.block_type)
+        words_l.append(np.asarray(w))
+        bits_l.append(np.asarray(bts))
+        # batched CRC over right-aligned rows
+        right = np.zeros((DEV_BATCH, member_size), np.uint8)
+        for k in range(DEV_BATCH):
+            ln = int(n_valid[sl][k])
+            if ln:
+                right[k, member_size - ln:] = blocks[sl][k, :ln]
+        crcs_l.append(crc32_batch_jax(jnp.asarray(right), n_valid[sl]))
+    words = np.concatenate(words_l, axis=0)
+    bits = np.concatenate(bits_l, axis=0)
+    crcs = np.concatenate(crcs_l, axis=0)
 
     from ..serial.deflate import deflate as serial_deflate
 
@@ -307,21 +319,25 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
             raise GzipError(f"gzip ISIZE mismatch in member {i}")
         pieces[i] = piece
 
-    if dev_idx:
-        db = len(dev_idx)
-        db_pad = 1 << max(0, (db - 1).bit_length())
-        w = max_body // 4 + 4
-        words = np.zeros((db_pad, w), np.uint32)
-        d_starts = np.full((db_pad,), 3, np.int32)
-        d_lit = np.zeros((db_pad, lit_ls.shape[1]), np.int32)
-        d_dist = np.zeros((db_pad, C.MAX_DIST_SYMBOLS), np.int32)
+    # fixed device batch + out_cap-derived word width: one compiled
+    # shape per (member-size class), reused across input sizes
+    DEV_BATCH = 64
+    w = out_cap // 4 + 512
+    if max_body > 4 * (w - 2):
+        raise ImportError("member body exceeds device word budget")
+    fixed_l = np.asarray(C.fixed_litlen_lengths(),
+                         np.int32)[:lit_ls.shape[1]]
+    for g in range(0, len(dev_idx), DEV_BATCH):
+        group = dev_idx[g:g + DEV_BATCH]
+        words = np.zeros((DEV_BATCH, w), np.uint32)
+        d_starts = np.full((DEV_BATCH,), 3, np.int32)
+        d_lit = np.empty((DEV_BATCH, lit_ls.shape[1]), np.int32)
+        d_dist = np.empty((DEV_BATCH, C.MAX_DIST_SYMBOLS), np.int32)
         # padding rows decode an empty final fixed block ("\x03\x00")
-        fixed_l = np.asarray(C.fixed_litlen_lengths(),
-                             np.int32)[:lit_ls.shape[1]]
         d_lit[:] = fixed_l
         d_dist[:] = 5
         words[:, 0] = 0x0003
-        for k, i in enumerate(dev_idx):
+        for k, i in enumerate(group):
             ref = refs[i]
             body = data[ref.body:ref.end - 8]
             arr = np.frombuffer(body + b"\x00" * ((-len(body)) % 4),
@@ -337,18 +353,19 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
         a, b, nt, end_bit, err = decode_symbols_chunked(
             jnp.asarray(words), jnp.asarray(d_starts), lit_t, dist_t,
             out_cap + 2)
+        db = len(group)
         err_np = np.asarray(err)
         if err_np[:db].any():
-            bad = dev_idx[int(np.argmax(err_np[:db]))]
+            bad = group[int(np.argmax(err_np[:db]))]
             raise DeflateError(f"invalid Huffman code in member {bad}")
         out, n_out, xerr = expand_tokens_device(a, b, nt, out_cap)
         xerr_np = np.asarray(xerr)
         if xerr_np[:db].any():
-            bad = dev_idx[int(np.argmax(xerr_np[:db]))]
+            bad = group[int(np.argmax(xerr_np[:db]))]
             raise DeflateError(f"bad back-reference in member {bad}")
         out_np = np.asarray(out)
         n_out_np = np.asarray(n_out)
-        for k, i in enumerate(dev_idx):
+        for k, i in enumerate(group):
             if int(n_out_np[k]) != int(isizes[i]):
                 raise GzipError(
                     f"gzip ISIZE mismatch in member {i}: "
@@ -360,13 +377,13 @@ def _decompress_device(data: bytes, refs: list[MemberRef],
                 if ln:
                     right[k, out_cap - ln:] = out_np[k, :ln]
             crcs = crc32_batch_jax(jnp.asarray(right), n_out_np)
-            for k, i in enumerate(dev_idx):
+            for k, i in enumerate(group):
                 if int(crcs[k]) != int(crcs_expected[i]):
                     raise GzipError(
                         f"gzip CRC mismatch in member {i}: stream says "
                         f"{int(crcs_expected[i]):#010x}, computed "
                         f"{int(crcs[k]):#010x}")
-        for k, i in enumerate(dev_idx):
+        for k, i in enumerate(group):
             pieces[i] = out_np[k, :int(n_out_np[k])].tobytes()
 
     if verify and host_members:
