@@ -167,6 +167,42 @@ def rle_code_lengths_jax(seq: jnp.ndarray):
     return sym, extra, nbits
 
 
+def dynamic_header_fields(lit_lengths: jnp.ndarray,
+                          dist_lengths: jnp.ndarray,
+                          bfinal: jnp.ndarray):
+    """Dynamic-block header as (value, width) fields.
+
+    Returns (hdr_vals (23,), hdr_widths, len_vals (316,), len_widths):
+    BFINAL/BTYPE + HLIT/HDIST/HCLEN + 19 CLC widths, then the RLE'd
+    code-length codes (holes are width-0 fields).
+    """
+    lengths_seq = jnp.concatenate([lit_lengths, dist_lengths])  # (316,)
+    rle_sym, rle_extra, rle_nbits = rle_code_lengths_jax(lengths_seq)
+    emitted = rle_sym >= 0
+    clc_freq = jnp.sum(
+        ((rle_sym[:, None] == jnp.arange(N_CLC)[None, :]) &
+         emitted[:, None]).astype(jnp.int32), axis=0)
+    clc_lengths = package_merge_lengths(clc_freq, C.MAX_CLC_BITWIDTH)
+    clc_rev, clc_w = _encoder_tables(clc_lengths)
+
+    hdr_vals = jnp.concatenate([
+        jnp.stack([bfinal.astype(jnp.int32) | (C.BTYPE_DYNAMIC << 1),
+                   jnp.int32(N_LIT - 257),
+                   jnp.int32(N_DIST - 1),
+                   jnp.int32(N_CLC - 4)]),
+        clc_lengths[_CLC_ORDER],
+    ])
+    hdr_widths = jnp.concatenate([
+        jnp.asarray([3, 5, 5, 4], jnp.int32),
+        jnp.full((N_CLC,), 3, jnp.int32),
+    ])
+    sym_c = jnp.clip(rle_sym, 0, N_CLC - 1)
+    cw = clc_w[sym_c]
+    len_vals = jnp.where(emitted, clc_rev[sym_c] | (rle_extra << cw), 0)
+    len_widths = jnp.where(emitted, cw + rle_nbits, 0)
+    return hdr_vals, hdr_widths, len_vals, len_widths
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
 def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
                         n_tokens: jnp.ndarray, bfinal: jnp.ndarray,
@@ -206,31 +242,8 @@ def encode_block_fields(a: jnp.ndarray, b: jnp.ndarray,
 
     # ---- header fields -----------------------------------------------------
     if block_type == "dynamic":
-        lengths_seq = jnp.concatenate([lit_lengths, dist_lengths])  # (316,)
-        rle_sym, rle_extra, rle_nbits = rle_code_lengths_jax(lengths_seq)
-        emitted = rle_sym >= 0
-        clc_freq = jnp.sum(
-            ((rle_sym[:, None] == jnp.arange(N_CLC)[None, :]) &
-             emitted[:, None]).astype(jnp.int32), axis=0)
-        clc_lengths = package_merge_lengths(clc_freq, C.MAX_CLC_BITWIDTH)
-        clc_rev, clc_w = _encoder_tables(clc_lengths)
-
-        hdr_vals = jnp.concatenate([
-            jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
-                       jnp.int32(N_LIT - 257),
-                       jnp.int32(N_DIST - 1),
-                       jnp.int32(N_CLC - 4)]),
-            clc_lengths[_CLC_ORDER],
-        ])
-        hdr_widths = jnp.concatenate([
-            jnp.asarray([3, 5, 5, 4], jnp.int32),
-            jnp.full((N_CLC,), 3, jnp.int32),
-        ])
-        sym_c = jnp.clip(rle_sym, 0, N_CLC - 1)
-        cw = clc_w[sym_c]
-        len_vals = jnp.where(emitted,
-                             clc_rev[sym_c] | (rle_extra << cw), 0)
-        len_widths = jnp.where(emitted, cw + rle_nbits, 0)
+        hdr_vals, hdr_widths, len_vals, len_widths = dynamic_header_fields(
+            lit_lengths, dist_lengths, bfinal)
     else:
         pad_h = N_HEADER_FIELDS - 1
         hdr_vals = jnp.concatenate([

@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: token → (value, width) entropy-coding fields.
+
+The XLA version of this stage (ops/deflate_encode.encode_block_fields'
+token section) is gather-bound: ~10 small-LUT lookups per token lower to
+scalarized gathers at ~85 M elem/s on TPU.  This kernel keeps every LUT
+in VMEM rows and performs lookups as *lane shuffles*:
+
+    table (R_GROUPS, 128) → for each group r:
+        cand = dynamic_gather(row_r, idx & 127, axis=1)   # 128-wide
+        acc  = where(idx >> 7 == r, cand, acc)
+
+`tpu.dynamic_gather` along the lane axis is a single-vreg shuffle, so a
+320-entry table costs 3 shuffle+select rounds — ~20 G lookups/s against
+XLA's 0.085 G.  The 32769-entry distance LUT is replaced by arithmetic
+(distance code from the MSB position via float32 exponent bits).
+
+The kernel computes the token fields only; the (constant-shape) header
+fields and the final bit-pack remain in the XLA stages.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import constants as C
+
+LANES = 128
+SUBLANES = 8
+TILE = SUBLANES * LANES          # tokens per inner tile
+
+
+def _pad_rows(table: np.ndarray) -> np.ndarray:
+    """1-D int32 table → (ceil(n/128), 128) rows."""
+    n = len(table)
+    rows = -(-n // LANES)
+    out = np.zeros((rows, LANES), np.int32)
+    out.reshape(-1)[:n] = table
+    return out
+
+
+# host-precomputed length LUTs (259 entries → 3 row-groups)
+_LEN_CODE_ROWS = _pad_rows(C.LENGTH_TO_CODE)       # values 257..285
+_LEN_NEXTRA_ROWS = _pad_rows(C.LENGTH_TO_NEXTRA)
+_LEN_EXTRA_ROWS = _pad_rows(C.LENGTH_TO_EXTRA)
+# distance code base/extra tables (30 entries → 1 row-group)
+_DIST_BASE_ROWS = _pad_rows(C.DIST_BASE)
+_DIST_NEXTRA_ROWS = _pad_rows(C.DIST_EXTRA)
+
+
+def _lut(table, idx, n_groups: int):
+    """Row-group lane-shuffle lookup: table (G,128) array, idx (8,128)."""
+    lane = idx & (LANES - 1)
+    group = idx >> 7
+    acc = jnp.zeros_like(idx)
+    for r in range(n_groups):
+        row = jnp.broadcast_to(table[r, :][None, :], (SUBLANES, LANES))
+        cand = jnp.take_along_axis(row, lane, axis=1)
+        acc = jnp.where(group == r, cand, acc)
+    return acc
+
+
+def _dist_code(d):
+    """Distance (1..32768) → code 0..29, arithmetically.
+
+    code = d<=4 ? d-1 : 2*(msb-1) + extra-bit, msb = floor(log2(d-1)).
+    The MSB position comes from the float32 exponent (exact: d ≤ 2^15).
+    """
+    dm = jnp.maximum(d - 1, 1)
+    # exponent of float32(dm): bits 23..30, bias 127 → msb = floor(log2)
+    f = dm.astype(jnp.float32)
+    msb = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+    half = (dm >> jnp.maximum(msb - 1, 0)) & 1
+    code_hi = 2 * msb + half
+    return jnp.where(d <= 4, d - 1, code_hi).astype(jnp.int32)
+
+
+def _fields_compute(a, b, nt,
+                    lit_rev, lit_w, dist_rev, dist_w,
+                    lcode, lnx, lxv, dbase, dnx):
+    t = pl.program_id(1)
+    base = t * TILE
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    gidx = base + rows * LANES + cols
+    valid = gidx < nt
+
+    is_match = (b > 0) & valid
+
+    a_len = jnp.clip(a, 0, C.MAX_MATCH)
+    lit_sym = jnp.where(is_match, _lut(lcode, a_len, 3),
+                        jnp.clip(a, 0, 255))
+    len_nextra = jnp.where(is_match, _lut(lnx, a_len, 3), 0)
+    len_extra = jnp.where(is_match, _lut(lxv, a_len, 3), 0)
+
+    lw = _lut(lit_w, lit_sym, 3)
+    lrev = _lut(lit_rev, lit_sym, 3)
+    f1v = lrev | (len_extra << lw)
+    f1w = jnp.where(valid, lw + len_nextra, 0)
+
+    dsym = _dist_code(jnp.clip(b, 1, C.MAX_DISTANCE))
+    dbase_v = _lut(dbase, dsym, 1)
+    dnx_v = _lut(dnx, dsym, 1)
+    dw_v = _lut(dist_w, dsym, 1)
+    drev_v = _lut(dist_rev, dsym, 1)
+    dextra = jnp.clip(b, 1, C.MAX_DISTANCE) - dbase_v
+    f2v = jnp.where(is_match, drev_v | (dextra << dw_v), 0)
+    f2w = jnp.where(is_match, dw_v + dnx_v, 0)
+
+    return jnp.where(valid, f1v, 0), f1w, f2v, f2w
+
+
+@functools.partial(jax.jit, static_argnames=())
+def token_fields_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                        n_tokens: jnp.ndarray,
+                        lit_rev: jnp.ndarray, lit_w: jnp.ndarray,
+                        dist_rev: jnp.ndarray, dist_w: jnp.ndarray):
+    """Batched token-field computation.
+
+    a, b: (B, M) int32 token arrays (M multiple of 1024).
+    n_tokens: (B,) int32.  lit_*: (B, 288); dist_*: (B, 30).
+    Returns f1v, f1w, f2v, f2w: (B, M) int32.
+    """
+    bsz, m = a.shape
+    assert m % TILE == 0, "token capacity must be a multiple of 1024"
+    n_tiles = m // TILE
+    rows = m // LANES
+
+    def pad_tab(t, n):
+        g = -(-n // LANES)
+        out = jnp.zeros((bsz, g * LANES), jnp.int32)
+        return out.at[:, :n].set(t.astype(jnp.int32)).reshape(
+            bsz, g, LANES)
+
+    lit_rev_r = pad_tab(lit_rev, 288)
+    lit_w_r = pad_tab(lit_w, 288)
+    dist_rev_r = pad_tab(dist_rev, 30)
+    dist_w_r = pad_tab(dist_w, 30)
+
+    grid = (bsz, n_tiles)
+    spec_tok = pl.BlockSpec((1, SUBLANES, LANES), lambda i, t: (i, t, 0),
+                            memory_space=pltpu.VMEM)
+    spec_tab3 = pl.BlockSpec((1, 3, LANES), lambda i, t: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_tab1 = pl.BlockSpec((1, 1, LANES), lambda i, t: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_const3 = pl.BlockSpec((3, LANES), lambda i, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    spec_const1 = pl.BlockSpec((1, LANES), lambda i, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    spec_nt = pl.BlockSpec((1, 1), lambda i, t: (i, 0),
+                           memory_space=pltpu.SMEM)
+    spec_out = pl.BlockSpec((1, SUBLANES, LANES),
+                            lambda i, t: (i, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(a_r, b_r, nt_r, lrev_r, lw_r, drev_r, dw_r,
+               lc_r, ln_r, lx_r, db_r, dn_r,
+               o1, o2, o3, o4):
+        r1, r2, r3, r4 = _fields_compute(
+            a_r[0], b_r[0], nt_r[0, 0],
+            lrev_r[0], lw_r[0], drev_r[0], dw_r[0],
+            lc_r[:], ln_r[:], lx_r[:], db_r[:], dn_r[:])
+        o1[0] = r1
+        o2[0] = r2
+        o3[0] = r3
+        o4[0] = r4
+
+    out_shape = [jax.ShapeDtypeStruct((bsz, n_tiles * SUBLANES, LANES),
+                                      jnp.int32)] * 4
+    f1v, f1w, f2v, f2w = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_tok, spec_tok, spec_nt,
+                  spec_tab3, spec_tab3, spec_tab1, spec_tab1,
+                  spec_const3, spec_const3, spec_const3,
+                  spec_const1, spec_const1],
+        out_specs=[spec_out] * 4,
+        out_shape=out_shape,
+    )(a.reshape(bsz, rows, LANES), b.reshape(bsz, rows, LANES),
+      n_tokens.astype(jnp.int32).reshape(bsz, 1),
+      lit_rev_r, lit_w_r, dist_rev_r, dist_w_r,
+      jnp.asarray(_LEN_CODE_ROWS), jnp.asarray(_LEN_NEXTRA_ROWS),
+      jnp.asarray(_LEN_EXTRA_ROWS), jnp.asarray(_DIST_BASE_ROWS),
+      jnp.asarray(_DIST_NEXTRA_ROWS))
+    return (f1v.reshape(bsz, m), f1w.reshape(bsz, m),
+            f2v.reshape(bsz, m), f2w.reshape(bsz, m))

@@ -49,6 +49,58 @@ def _pack_batch(values, widths):
     return jax.vmap(pack_fields)(values, widths)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _fields_batch_pallas(a, b, cnt, bfinal):
+    """Dynamic-block field build with the Pallas token-field kernel.
+
+    Header/code-length fields (≤339 per block) stay in XLA; the
+    gather-bound token fields run in pallas_fields.token_fields_pallas.
+    """
+    from .deflate_encode import (_encoder_tables, dynamic_header_fields,
+                                 token_histograms_jax)
+    from .huffman import package_merge_lengths
+    from .pallas_fields import token_fields_pallas
+
+    bsz, m = a.shape
+    lit_freq, dist_freq = jax.vmap(token_histograms_jax)(a, b, cnt)
+    lit_lengths = jax.vmap(
+        lambda f: package_merge_lengths(f, 15))(lit_freq)
+    dist_lengths = jax.vmap(
+        lambda f: package_merge_lengths(f, 15))(dist_freq)
+    lit_rev, lit_w = jax.vmap(_encoder_tables)(lit_lengths)
+    dist_rev, dist_w = jax.vmap(_encoder_tables)(dist_lengths)
+    hdrv, hdrw, lenv, lenw = jax.vmap(dynamic_header_fields)(
+        lit_lengths, dist_lengths, bfinal)
+
+    pad = (-m) % 1024
+    def padm(x):
+        return jnp.pad(x, ((0, 0), (0, pad)))
+    lit_rev288 = jnp.pad(lit_rev, ((0, 0), (0, 2)))
+    lit_w288 = jnp.pad(lit_w, ((0, 0), (0, 2)))
+    f1v, f1w, f2v, f2w = token_fields_pallas(
+        padm(a), padm(b), cnt, lit_rev288, lit_w288, dist_rev, dist_w)
+    f1v, f1w = f1v[:, :m], f1w[:, :m]
+    f2v, f2w = f2v[:, :m], f2w[:, :m]
+
+    tokv = jnp.stack([f1v, f2v], axis=2).reshape(bsz, 2 * m)
+    tokw = jnp.stack([f1w, f2w], axis=2).reshape(bsz, 2 * m)
+    eobv = lit_rev[:, 256:257]
+    eobw = lit_w[:, 256:257]
+    values = jnp.concatenate([hdrv, lenv, tokv, eobv], axis=1)
+    widths = jnp.concatenate([hdrw, lenw, tokw, eobw], axis=1)
+    return values, widths
+
+
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("LIBFLATE_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                   bfinal: jnp.ndarray, block_type: str):
     """(B, n) uint8 blocks → (B, W) uint32 words + (B,) bit counts.
@@ -58,7 +110,10 @@ def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     64 KiB block vs ≈20 s split), while steady-state cost is identical.
     """
     a, b, cnt = _tokenize_batch(blocks, n_valid)
-    values, widths = _fields_batch(a, b, cnt, bfinal, block_type)
+    if block_type == "dynamic" and _use_pallas():
+        values, widths = _fields_batch_pallas(a, b, cnt, bfinal)
+    else:
+        values, widths = _fields_batch(a, b, cnt, bfinal, block_type)
     return _pack_batch(values, widths)
 
 
