@@ -152,7 +152,7 @@ def token_fields_pallas(a: jnp.ndarray, b: jnp.ndarray,
                                memory_space=pltpu.VMEM)
     spec_const1 = pl.BlockSpec((1, LANES), lambda i, t: (0, 0),
                                memory_space=pltpu.VMEM)
-    spec_nt = pl.BlockSpec((1, 1), lambda i, t: (i, 0),
+    spec_nt = pl.BlockSpec((bsz, 1), lambda i, t: (0, 0),
                            memory_space=pltpu.SMEM)
     spec_out = pl.BlockSpec((1, SUBLANES, LANES),
                             lambda i, t: (i, t, 0),
@@ -162,7 +162,7 @@ def token_fields_pallas(a: jnp.ndarray, b: jnp.ndarray,
                lc_r, ln_r, lx_r, db_r, dn_r,
                o1, o2, o3, o4):
         r1, r2, r3, r4 = _fields_compute(
-            a_r[0], b_r[0], nt_r[0, 0],
+            a_r[0], b_r[0], nt_r[pl.program_id(0), 0],
             lrev_r[0], lw_r[0], drev_r[0], dw_r[0],
             lc_r[:], ln_r[:], lx_r[:], db_r[:], dn_r[:])
         o1[0] = r1
