@@ -8,6 +8,7 @@ one-shot API.
 """
 from __future__ import annotations
 
+import enum
 import io
 import struct
 import time
@@ -20,6 +21,25 @@ from ..utils.checksum import Crc32, crc32
 
 class GzipError(ValueError):
     """Malformed gzip data (parity: io::ErrorKind::InvalidData)."""
+
+
+class Os(enum.IntEnum):
+    """Header OS codes (parity: src/gzip.rs Os enum)."""
+    FAT = 0
+    AMIGA = 1
+    VMS = 2
+    UNIX = 3
+    VM_CMS = 4
+    ATARI_TOS = 5
+    HPFS = 6
+    MACINTOSH = 7
+    Z_SYSTEM = 8
+    CPM = 9
+    TOPS20 = 10
+    NTFS = 11
+    QDOS = 12
+    ACORN_RISCOS = 13
+    UNKNOWN = 255
 
 
 # ---------------------------------------------------------------------------

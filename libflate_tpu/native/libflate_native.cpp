@@ -300,6 +300,66 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
             if (!ok) return -3;
             const uint32_t lit_mask = (1u << lit_bits) - 1;
             const uint32_t dist_mask = (1u << dist_bits) - 1;
+            // fastloop: enough output margin (longest match) and input
+            // look-ahead that all bounds checks can be hoisted; decodes
+            // up to 3 literals per refill (<= 45 bits) or one full
+            // length+distance symbol (<= 48 bits after a re-fill)
+            while (o + 274 <= cap && b.pos + 16 <= b.size) {
+                bi_fill(&b);
+                uint16_t e = lit_table[(uint32_t)(b.acc & lit_mask)];
+                b.acc >>= (e & 15); b.nbits -= (e & 15);
+                int sym = e >> 4;
+                if (sym < 256 && e) {
+                    dst[o++] = (uint8_t)sym;
+                    e = lit_table[(uint32_t)(b.acc & lit_mask)];
+                    b.acc >>= (e & 15); b.nbits -= (e & 15);
+                    sym = e >> 4;
+                    if (sym < 256 && e) {
+                        dst[o++] = (uint8_t)sym;
+                        e = lit_table[(uint32_t)(b.acc & lit_mask)];
+                        b.acc >>= (e & 15); b.nbits -= (e & 15);
+                        sym = e >> 4;
+                        if (sym < 256 && e) { dst[o++] = (uint8_t)sym; continue; }
+                    }
+                }
+                if (!e) return -3;
+                if (sym == 256) goto block_end;
+                if (sym > 285) return -10;
+                {
+                    bi_fill(&b);           // extras + distance <= 33 bits
+                    int li = sym - 257;
+                    int le = LEN_EXTRA[li];
+                    uint32_t length = LEN_BASE[li] +
+                        (uint32_t)(b.acc & ((1u << le) - 1));
+                    b.acc >>= le; b.nbits -= le;
+                    uint16_t de = dist_table[(uint32_t)(b.acc & dist_mask)];
+                    if (!de) return -3;
+                    int dw = de & 15;
+                    b.acc >>= dw; b.nbits -= dw;
+                    int ds = de >> 4;
+                    if (ds > 29) return -11;
+                    int dxe = DIST_EXTRA[ds];
+                    uint32_t dist = DIST_BASE[ds] +
+                        (uint32_t)(b.acc & ((1u << dxe) - 1));
+                    b.acc >>= dxe; b.nbits -= dxe;
+                    if (b.nbits < 0) return -1;
+                    if (dist > o) return -12;
+                    const uint8_t* s = dst + o - dist;
+                    uint8_t* d = dst + o;
+                    o += length;
+                    if (dist >= 8) {
+                        // margin guaranteed: copy in unconditional 8B chunks
+                        memcpy(d, s, 8);
+                        if (length > 8) {
+                            d += 8; s += 8;
+                            int64_t rem = (int64_t)length - 8;
+                            while (rem > 0) { memcpy(d, s, 8); d += 8; s += 8; rem -= 8; }
+                        }
+                    } else {
+                        while (length--) *d++ = *s++;
+                    }
+                }
+            }
             for (;;) {
                 // one refill covers the worst-case symbol: 15+5+15+13 <= 56
                 bi_fill(&b);
@@ -345,6 +405,7 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                     }
                 }
             }
+            block_end:;
         }
         if (final_) break;
     }
@@ -614,11 +675,10 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
                       uint64_t* out_n, uint64_t block_size, int final_marker) {
     enc_luts_init();
     BitOut bo; bo_init(&bo, dst, cap);
-    const int HB = 16;                      // 64K buckets over 3-byte hash
-    // epoch-stamped heads: no per-block 512 KiB memset (which would cost
-    // 8 bytes of writes per input byte at 64 KiB blocks)
-    static thread_local int64_t head[1 << 16];
-    static thread_local uint32_t head_epoch[1 << 16];
+    const int HB = 16;                      // 64K buckets over the 3-byte hash
+    // epoch-stamped heads packed as (epoch<<32)|pos in ONE array: a
+    // single random cache access per input byte instead of two
+    static thread_local uint64_t head2[1 << 16];
     static thread_local uint32_t cur_epoch = 0;
     static thread_local Tok* toks = nullptr;
     static thread_local uint64_t toks_cap = 0;
@@ -635,7 +695,7 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
         uint64_t bstart = pos;
         uint64_t bend = pos + block_size < n ? pos + block_size : n;
         if (++cur_epoch == 0) {             // u32 wrap: hard reset once
-            memset(head_epoch, 0, sizeof(head_epoch));
+            memset(head2, 0, sizeof(head2));
             cur_epoch = 1;
         }
         int64_t ntok = 0;
@@ -644,9 +704,10 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
             if (i + 3 > bend) { toks[ntok].a = src[i]; toks[ntok].b_lo = 0; toks[ntok].b_hi = 0; ntok++; i++; continue; }
             uint32_t key = ((uint32_t)src[i] << 16) | ((uint32_t)src[i+1] << 8) | src[i+2];
             uint32_t h = (key * 2654435761u) >> (32 - HB);
-            int64_t cand = head_epoch[h] == cur_epoch ? head[h] : -1;
-            head[h] = (int64_t)i;
-            head_epoch[h] = cur_epoch;
+            uint64_t slot = head2[h];
+            int64_t cand = (uint32_t)(slot >> 32) == cur_epoch
+                           ? (int64_t)(uint32_t)slot : -1;
+            head2[h] = ((uint64_t)cur_epoch << 32) | (uint32_t)i;
             bool matched = false;
             if (cand >= (int64_t)bstart && i - cand <= 32768) {
                 // verify key (hash buckets can collide)
@@ -662,8 +723,7 @@ int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap
                     for (uint64_t j = i + 1; j < stop; j++) {
                         uint32_t k2 = ((uint32_t)src[j] << 16) | ((uint32_t)src[j+1] << 8) | src[j+2];
                         uint32_t h2 = (k2 * 2654435761u) >> (32 - HB);
-                        head[h2] = (int64_t)j;
-                        head_epoch[h2] = cur_epoch;
+                        head2[h2] = ((uint64_t)cur_epoch << 32) | (uint32_t)j;
                     }
                     i += L;
                     matched = true;
