@@ -133,16 +133,17 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
         n_valid[i] = len(chunk)
     bfinal = np.ones((DEV_BATCH,), np.int32)  # every member: 1 final block
 
-    # dynamic-only on device: "auto" doubles the field-build cost, and
-    # the member-level stored fallback below already covers the
-    # incompressible case
+    # shared-table mode: one batch-global Huffman code set, transmitted
+    # identically in every member header — enables the shared-table
+    # parallel decoder while staying 100% standard gzip.  The member
+    # -level stored fallback below covers incompressible chunks.
+    btype = "shared" if opts.block_type == "dynamic" else opts.block_type
     words_l, bits_l, crcs_l = [], [], []
     bfinal_j = jnp.asarray(bfinal)
     for g in range(n_batches):
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
         w, bts = _encode_batch(jnp.asarray(blocks[sl]),
-                               jnp.asarray(n_valid[sl]), bfinal_j,
-                               opts.block_type)
+                               jnp.asarray(n_valid[sl]), bfinal_j, btype)
         words_l.append(np.asarray(w))
         bits_l.append(np.asarray(bts))
         # batched CRC over right-aligned rows

@@ -167,6 +167,33 @@ def rle_code_lengths_jax(seq: jnp.ndarray):
     return sym, extra, nbits
 
 
+def token_fields_xla(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
+                     lit_rev: jnp.ndarray, lit_w: jnp.ndarray,
+                     dist_rev: jnp.ndarray, dist_w: jnp.ndarray):
+    """XLA token-field computation (one block): the gather-based
+    counterpart of pallas_fields.token_fields_pallas.
+
+    Returns (f1v, f1w, f2v, f2w) each (M,) int32.
+    """
+    is_match = (b > 0) & valid
+    lit_sym = jnp.where(is_match, _LEN_CODE[jnp.clip(a, 0, C.MAX_MATCH)],
+                        jnp.clip(a, 0, 255))
+    a_len = jnp.clip(a, 0, C.MAX_MATCH)
+    b_dist = jnp.clip(b, 0, C.MAX_DISTANCE)
+    lw = lit_w[lit_sym]
+    f1v = lit_rev[lit_sym] | jnp.where(is_match,
+                                       _LEN_EXTRA[a_len] << lw, 0)
+    f1v = jnp.where(valid, f1v, 0)
+    f1w = jnp.where(valid, lw + jnp.where(is_match,
+                                          _LEN_NEXTRA[a_len], 0), 0)
+    ds = jnp.where(is_match, _DIST_CODE[b_dist], 0)
+    dw = dist_w[ds]
+    f2v = jnp.where(is_match,
+                    dist_rev[ds] | (_DIST_EXTRA[b_dist] << dw), 0)
+    f2w = jnp.where(is_match, dw + _DIST_NEXTRA[b_dist], 0)
+    return f1v, f1w, f2v, f2w
+
+
 def dynamic_header_fields(lit_lengths: jnp.ndarray,
                           dist_lengths: jnp.ndarray,
                           bfinal: jnp.ndarray):

@@ -91,6 +91,70 @@ def _fields_batch_pallas(a, b, cnt, bfinal):
     return values, widths
 
 
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12):
+    """Field build with ONE shared Huffman table for the whole batch.
+
+    The batch-global histogram yields a single litlen/dist code set that
+    every member's header transmits identically (streams stay 100%
+    standard; headers across members become byte-identical).  This is
+    the encode half of the "broadcast shared code tables" design: the
+    decoder detects identical headers and runs the shared-table
+    speculative kernel.  ``max_len=12`` bounds code length so decode
+    root tables stay lane-shuffle-sized; ratio cost is ≈0.1-1%.
+    """
+    from .deflate_encode import (_encoder_tables, dynamic_header_fields,
+                                 token_histograms_jax)
+    from .huffman import package_merge_lengths
+    from .pallas_fields import token_fields_pallas
+
+    bsz, m = a.shape
+    lit_freq, dist_freq = jax.vmap(token_histograms_jax)(a, b, cnt)
+    lit_lengths = package_merge_lengths(jnp.sum(lit_freq, axis=0), max_len)
+    dist_lengths = package_merge_lengths(jnp.sum(dist_freq, axis=0),
+                                         max_len)
+    lit_rev, lit_w = _encoder_tables(lit_lengths)
+    dist_rev, dist_w = _encoder_tables(dist_lengths)
+    hdrv, hdrw, lenv, lenw = dynamic_header_fields(
+        lit_lengths, dist_lengths, jnp.int32(1))
+    hdrv = jnp.broadcast_to(hdrv[None, :], (bsz, hdrv.shape[0]))
+    hdrw = jnp.broadcast_to(hdrw[None, :], (bsz, hdrw.shape[0]))
+    lenv = jnp.broadcast_to(lenv[None, :], (bsz, lenv.shape[0]))
+    lenw = jnp.broadcast_to(lenw[None, :], (bsz, lenw.shape[0]))
+    # bfinal is 1 for every member (one final block each), matching the
+    # header fields computed above
+
+    pad = (-m) % 1024
+
+    def padm(x):
+        return jnp.pad(x, ((0, 0), (0, pad)))
+
+    rep = lambda t, n: jnp.broadcast_to(t[None, :], (bsz, n))
+    if _use_pallas():
+        lit_rev288 = rep(jnp.pad(lit_rev, (0, 2)), 288)
+        lit_w288 = rep(jnp.pad(lit_w, (0, 2)), 288)
+        f1v, f1w, f2v, f2w = token_fields_pallas(
+            padm(a), padm(b), cnt, lit_rev288, lit_w288,
+            rep(dist_rev, 30), rep(dist_w, 30))
+        f1v, f1w = f1v[:, :m], f1w[:, :m]
+        f2v, f2w = f2v[:, :m], f2w[:, :m]
+    else:
+        from .deflate_encode import token_fields_xla
+        idx = jnp.arange(m, dtype=jnp.int32)
+        f1v, f1w, f2v, f2w = jax.vmap(
+            lambda aa, bb, nn: token_fields_xla(
+                aa, bb, idx < nn, lit_rev, lit_w, dist_rev, dist_w)
+        )(a, b, cnt)
+
+    tokv = jnp.stack([f1v, f2v], axis=2).reshape(bsz, 2 * m)
+    tokw = jnp.stack([f1w, f2w], axis=2).reshape(bsz, 2 * m)
+    eobv = jnp.broadcast_to(lit_rev[256][None, None], (bsz, 1))
+    eobw = jnp.broadcast_to(lit_w[256][None, None], (bsz, 1))
+    values = jnp.concatenate([hdrv, lenv, tokv, eobv], axis=1)
+    widths = jnp.concatenate([hdrw, lenw, tokw, eobw], axis=1)
+    return values, widths
+
+
 def _use_pallas() -> bool:
     import os
     if os.environ.get("LIBFLATE_NO_PALLAS"):
@@ -110,7 +174,9 @@ def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     64 KiB block vs ≈20 s split), while steady-state cost is identical.
     """
     a, b, cnt = _tokenize_batch(blocks, n_valid)
-    if block_type == "dynamic" and _use_pallas():
+    if block_type == "shared":
+        values, widths = _fields_batch_shared(a, b, cnt, bfinal)
+    elif block_type == "dynamic" and _use_pallas():
         values, widths = _fields_batch_pallas(a, b, cnt, bfinal)
     else:
         values, widths = _fields_batch(a, b, cnt, bfinal, block_type)
