@@ -120,8 +120,10 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     raw = np.frombuffer(data, np.uint8)
     n_members = max(1, -(-n // member_size))
     # fixed device batch: every call compiles exactly one shape, reused
-    # for any input size (unbounded shapes made XLA recompile per size)
-    DEV_BATCH = 64
+    # for any input size (unbounded shapes made XLA recompile per size).
+    # 128 = the decode kernel's lane count, so one encode batch = one
+    # decode group = one shared Huffman table.
+    DEV_BATCH = 128
     n_batches = -(-n_members // DEV_BATCH)
     b_pad = n_batches * DEV_BATCH
 

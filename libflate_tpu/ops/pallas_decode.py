@@ -1,0 +1,203 @@
+"""Pallas TPU speculative bitwise DEFLATE decoder (shared-table mode).
+
+The per-symbol scan decoder (ops/deflate_decode.decode_symbols) is
+bound by per-stream HBM gathers: each stream's bit cursor diverges, so
+every step gathers words and table entries at stream-specific offsets
+(~85 M gathers/s under XLA).  This kernel removes *all* gathers from
+the hot path by decoding **speculatively at every bit position**:
+
+* 128 member streams ride the lanes; all lanes process the SAME bit
+  position range per step, so word fetches are static slices, not
+  gathers.
+* The Huffman tables are SHARED across the batch (the PGZF shared-table
+  encode mode transmits one batch-global code set in every member
+  header, "broadcast shared code tables").  A 12-bit root table is 32
+  VMEM rows; lookups are lane-shuffle row-group selects.
+* For each bit position p the kernel emits the decoded token (packed)
+  and ``nextL[p]`` — the bit position of the next litlen symbol if a
+  litlen symbol starts at p.  Following the ``nextL`` chain from each
+  stream's first symbol yields exactly the true token boundaries
+  (Massively-Parallel Lossless Data Decompression's speculation idea,
+  flattened to bit granularity).
+
+Token packing (int32):  a | (b << 9) | (eob << 25) | (bad << 26)
+  a: literal byte or match length (9 bits), b: distance (16 bits).
+
+Chain-follow + token compaction live in deflate_decode / the caller.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import constants as C
+
+LANES = 128
+SUBLANES = 8
+POS_PER_PROG = 2048          # bit positions handled by one grid program
+ROOT_BITS = 12               # shared tables are built with limit 12
+
+EOB_FLAG = 1 << 25
+BAD_FLAG = 1 << 26
+
+_LEN_BASE_ROW = np.zeros((1, LANES), np.int32)
+_LEN_BASE_ROW[0, :29] = C.LENGTH_BASE
+_LEN_EXTRA_ROW = np.zeros((1, LANES), np.int32)
+_LEN_EXTRA_ROW[0, :29] = C.LENGTH_EXTRA
+_DIST_BASE_ROW = np.zeros((1, LANES), np.int32)
+_DIST_BASE_ROW[0, :30] = C.DIST_BASE
+_DIST_EXTRA_ROW = np.zeros((1, LANES), np.int32)
+_DIST_EXTRA_ROW[0, :30] = C.DIST_EXTRA
+
+
+def _shared_lut(rows, idx, n_groups: int):
+    """Shared-table lookup: rows (G,128) VMEM array; idx (8,128) int32."""
+    lane = idx & (LANES - 1)
+    group = idx >> 7
+    acc = jnp.zeros_like(idx)
+    for r in range(n_groups):
+        row = jnp.broadcast_to(rows[r, :][None, :], (SUBLANES, LANES))
+        cand = jnp.take_along_axis(row, lane, axis=1)
+        acc = jnp.where(group == r, cand, acc)
+    return acc
+
+
+def _window(words_ref, tile_bit_base, r_iota):
+    """64-bit window (lo, hi u32 pair) at bit position base+r per lane."""
+    row0 = tile_bit_base // 32
+    w = words_ref[pl.ds(row0, 4), :]                    # (4, 128) u32
+    sh = (tile_bit_base % 32 + r_iota).astype(jnp.uint32)  # (8,128) 0..39
+    # normalize: when sh >= 32 step to the next word
+    carry = (sh >= 32).astype(jnp.int32)
+    shm = jnp.where(sh >= 32, sh - 32, sh)
+    w0 = jnp.where(carry == 0, w[0][None, :], w[1][None, :])
+    w1 = jnp.where(carry == 0, w[1][None, :], w[2][None, :])
+    w2 = jnp.where(carry == 0, w[2][None, :], w[3][None, :])
+    inv = (jnp.uint32(31) - shm)
+    lo = (w0 >> shm) | ((w1 << inv) << jnp.uint32(1))
+    hi = (w1 >> shm) | ((w2 << inv) << jnp.uint32(1))
+    return lo, hi
+
+
+def _bits_at(lo, hi, k, nbits_mask):
+    """Extract bits [k, k+n) from the 64-bit window; k (8,128) 0..31."""
+    k = k.astype(jnp.uint32)
+    inv = jnp.uint32(31) - k
+    v = (lo >> k) | ((hi << inv) << jnp.uint32(1))
+    return (v & nbits_mask).astype(jnp.int32)
+
+
+def _decode_kernel(words_ref, lit_ref, dist_ref, lb_ref, le_ref,
+                   db_ref, de_ref, tok_ref, next_ref):
+    g = pl.program_id(1)
+    lit_rows = lit_ref[:]
+    dist_rows = dist_ref[:]
+    lb = lb_ref[:]
+    le = le_ref[:]
+    db = db_ref[:]
+    de = de_ref[:]
+
+    def tile(t, _):
+        bit_base = g * POS_PER_PROG + t * SUBLANES
+        r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        p = bit_base + r
+        lo, hi = _window(words_ref, bit_base, r)
+
+        e = _shared_lut(lit_rows, (lo & ((1 << ROOT_BITS) - 1)
+                                   ).astype(jnp.int32),
+                        (1 << ROOT_BITS) // LANES)
+        w = e & 15
+        sym = e >> 4
+        bad = e == 0
+        is_len = sym > 256
+        is_eob = sym == 256
+        li = jnp.clip(sym - 257, 0, 28)
+        lnx = _shared_lut(le, li, 1)
+        lbase = _shared_lut(lb, li, 1)
+        length = lbase + _bits_at(lo, hi, w,
+                                  ((jnp.uint32(1) << lnx.astype(jnp.uint32))
+                                   - 1))
+        k2 = w + jnp.where(is_len, lnx, 0)
+        didx = _bits_at(lo, hi, k2, jnp.uint32((1 << ROOT_BITS) - 1))
+        de2 = _shared_lut(dist_rows, didx, (1 << ROOT_BITS) // LANES)
+        dw = de2 & 15
+        dsym = jnp.clip(de2 >> 4, 0, 29)
+        dbad = is_len & (de2 == 0)
+        dnx = _shared_lut(de, dsym, 1)
+        dbase = _shared_lut(db, dsym, 1)
+        k3 = k2 + dw
+        dist = dbase + _bits_at(lo, hi, k3,
+                                ((jnp.uint32(1) << dnx.astype(jnp.uint32))
+                                 - 1))
+        total = jnp.where(is_len, k3 + dnx, w)
+
+        a = jnp.where(is_len, length, sym)
+        b = jnp.where(is_len, dist, 0)
+        tok = (jnp.clip(a, 0, 511) | (jnp.clip(b, 0, 65535) << 9)
+               | jnp.where(is_eob, EOB_FLAG, 0)
+               | jnp.where(bad | dbad, BAD_FLAG, 0))
+        nxt = jnp.where(is_eob | bad | dbad, p, p + total)
+
+        tok_ref[pl.ds(t * SUBLANES, SUBLANES), :] = tok
+        next_ref[pl.ds(t * SUBLANES, SUBLANES), :] = nxt
+        return 0
+
+    jax.lax.fori_loop(0, POS_PER_PROG // SUBLANES, tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def speculative_decode_positions(words: jnp.ndarray,
+                                 lit_table: jnp.ndarray,
+                                 dist_table: jnp.ndarray):
+    """Per-bit-position speculative decode.
+
+    Args:
+        words: (G, W, 128) uint32 — word r of stream l in group g is
+            ``words[g, r, l]`` (streams are lanes).  W must satisfy
+            8·(W-4) ≥ decoded position range.
+        lit_table / dist_table: (4096,) int32 shared root tables
+            (entry = sym<<4 | width, 0 invalid), built with limit 12.
+
+    Returns (tok, nextL): (G, P, 128) int32 with P = 8·W - 64.
+    """
+    g_, w_, lanes = words.shape
+    assert lanes == LANES
+    p_total = 32 * w_ - 128          # leave 4 words of look-ahead
+    assert p_total % POS_PER_PROG == 0
+
+    lit_rows = lit_table.reshape((1 << ROOT_BITS) // LANES, LANES)
+    dist_rows = dist_table.reshape((1 << ROOT_BITS) // LANES, LANES)
+
+    grid = (g_, p_total // POS_PER_PROG)
+    spec_words = pl.BlockSpec((1, w_, LANES), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    spec_tab = pl.BlockSpec(((1 << ROOT_BITS) // LANES, LANES),
+                            lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, POS_PER_PROG, LANES),
+                            lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(words_r, lit_r, dist_r, lb_r, le_r, db_r, de_r,
+               tok_r, next_r):
+        _decode_kernel(words_r[0], lit_r, dist_r, lb_r, le_r, db_r, de_r,
+                       tok_r[0], next_r[0])
+
+    tok, nxt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_words, spec_tab, spec_tab,
+                  spec_row, spec_row, spec_row, spec_row],
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((g_, p_total, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g_, p_total, LANES), jnp.int32)],
+    )(words, lit_rows, dist_rows,
+      jnp.asarray(_LEN_BASE_ROW), jnp.asarray(_LEN_EXTRA_ROW),
+      jnp.asarray(_DIST_BASE_ROW), jnp.asarray(_DIST_EXTRA_ROW))
+    return tok, nxt

@@ -92,6 +92,53 @@ def _fields_batch_pallas(a, b, cnt, bfinal):
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
+def _shared_stats(a, b, cnt, max_len: int = 12):
+    """Batch-global histogram → one shared code set + encoder tables."""
+    from .deflate_encode import _encoder_tables, token_histograms_jax
+    from .huffman import package_merge_lengths
+
+    lit_freq, dist_freq = jax.vmap(token_histograms_jax)(a, b, cnt)
+    lit_lengths = package_merge_lengths(jnp.sum(lit_freq, axis=0), max_len)
+    dist_lengths = package_merge_lengths(jnp.sum(dist_freq, axis=0),
+                                         max_len)
+    lit_rev, lit_w = _encoder_tables(lit_lengths)
+    dist_rev, dist_w = _encoder_tables(dist_lengths)
+    return lit_lengths, dist_lengths, lit_rev, lit_w, dist_rev, dist_w
+
+
+@jax.jit
+def _shared_header(lit_lengths, dist_lengths):
+    from .deflate_encode import dynamic_header_fields
+    return dynamic_header_fields(lit_lengths, dist_lengths, jnp.int32(1))
+
+
+@jax.jit
+def _shared_tokens_xla(a, b, cnt, lit_rev, lit_w, dist_rev, dist_w):
+    from .deflate_encode import token_fields_xla
+    m = a.shape[1]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    return jax.vmap(
+        lambda aa, bb, nn: token_fields_xla(
+            aa, bb, idx < nn, lit_rev, lit_w, dist_rev, dist_w)
+    )(a, b, cnt)
+
+
+@jax.jit
+def _shared_assemble(f1v, f1w, f2v, f2w, hdrv, hdrw, lenv, lenw,
+                     eob_v, eob_w):
+    bsz, m = f1v.shape
+    tokv = jnp.stack([f1v, f2v], axis=2).reshape(bsz, 2 * m)
+    tokw = jnp.stack([f1w, f2w], axis=2).reshape(bsz, 2 * m)
+    rep = lambda t: jnp.broadcast_to(t[None, :], (bsz, t.shape[0]))
+    values = jnp.concatenate(
+        [rep(hdrv), rep(lenv), tokv,
+         jnp.broadcast_to(eob_v[None, None], (bsz, 1))], axis=1)
+    widths = jnp.concatenate(
+        [rep(hdrw), rep(lenw), tokw,
+         jnp.broadcast_to(eob_w[None, None], (bsz, 1))], axis=1)
+    return values, widths
+
+
 def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12):
     """Field build with ONE shared Huffman table for the whole batch.
 
@@ -102,57 +149,34 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12):
     decoder detects identical headers and runs the shared-table
     speculative kernel.  ``max_len=12`` bounds code length so decode
     root tables stay lane-shuffle-sized; ratio cost is ≈0.1-1%.
+
+    Split into several small jits — one fused graph costs minutes of
+    XLA TPU compile time (see _encode_batch).
     """
-    from .deflate_encode import (_encoder_tables, dynamic_header_fields,
-                                 token_histograms_jax)
-    from .huffman import package_merge_lengths
     from .pallas_fields import token_fields_pallas
 
     bsz, m = a.shape
-    lit_freq, dist_freq = jax.vmap(token_histograms_jax)(a, b, cnt)
-    lit_lengths = package_merge_lengths(jnp.sum(lit_freq, axis=0), max_len)
-    dist_lengths = package_merge_lengths(jnp.sum(dist_freq, axis=0),
-                                         max_len)
-    lit_rev, lit_w = _encoder_tables(lit_lengths)
-    dist_rev, dist_w = _encoder_tables(dist_lengths)
-    hdrv, hdrw, lenv, lenw = dynamic_header_fields(
-        lit_lengths, dist_lengths, jnp.int32(1))
-    hdrv = jnp.broadcast_to(hdrv[None, :], (bsz, hdrv.shape[0]))
-    hdrw = jnp.broadcast_to(hdrw[None, :], (bsz, hdrw.shape[0]))
-    lenv = jnp.broadcast_to(lenv[None, :], (bsz, lenv.shape[0]))
-    lenw = jnp.broadcast_to(lenw[None, :], (bsz, lenw.shape[0]))
-    # bfinal is 1 for every member (one final block each), matching the
-    # header fields computed above
+    del bfinal  # every member is one final block; header assumes BFINAL=1
+    (lit_lengths, dist_lengths, lit_rev, lit_w,
+     dist_rev, dist_w) = _shared_stats(a, b, cnt, max_len)
+    hdrv, hdrw, lenv, lenw = _shared_header(lit_lengths, dist_lengths)
 
-    pad = (-m) % 1024
-
-    def padm(x):
-        return jnp.pad(x, ((0, 0), (0, pad)))
-
-    rep = lambda t, n: jnp.broadcast_to(t[None, :], (bsz, n))
     if _use_pallas():
-        lit_rev288 = rep(jnp.pad(lit_rev, (0, 2)), 288)
-        lit_w288 = rep(jnp.pad(lit_w, (0, 2)), 288)
+        pad = (-m) % 1024
+        padm = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        rep = lambda t, n: jnp.broadcast_to(t[None, :], (bsz, n))
         f1v, f1w, f2v, f2w = token_fields_pallas(
-            padm(a), padm(b), cnt, lit_rev288, lit_w288,
+            padm(a), padm(b), cnt,
+            rep(jnp.pad(lit_rev, (0, 2)), 288),
+            rep(jnp.pad(lit_w, (0, 2)), 288),
             rep(dist_rev, 30), rep(dist_w, 30))
         f1v, f1w = f1v[:, :m], f1w[:, :m]
         f2v, f2w = f2v[:, :m], f2w[:, :m]
     else:
-        from .deflate_encode import token_fields_xla
-        idx = jnp.arange(m, dtype=jnp.int32)
-        f1v, f1w, f2v, f2w = jax.vmap(
-            lambda aa, bb, nn: token_fields_xla(
-                aa, bb, idx < nn, lit_rev, lit_w, dist_rev, dist_w)
-        )(a, b, cnt)
-
-    tokv = jnp.stack([f1v, f2v], axis=2).reshape(bsz, 2 * m)
-    tokw = jnp.stack([f1w, f2w], axis=2).reshape(bsz, 2 * m)
-    eobv = jnp.broadcast_to(lit_rev[256][None, None], (bsz, 1))
-    eobw = jnp.broadcast_to(lit_w[256][None, None], (bsz, 1))
-    values = jnp.concatenate([hdrv, lenv, tokv, eobv], axis=1)
-    widths = jnp.concatenate([hdrw, lenw, tokw, eobw], axis=1)
-    return values, widths
+        f1v, f1w, f2v, f2w = _shared_tokens_xla(a, b, cnt, lit_rev, lit_w,
+                                                dist_rev, dist_w)
+    return _shared_assemble(f1v, f1w, f2v, f2w, hdrv, hdrw, lenv, lenw,
+                            lit_rev[256], lit_w[256])
 
 
 def _use_pallas() -> bool:
