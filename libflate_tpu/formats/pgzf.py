@@ -225,6 +225,10 @@ def decompress(data: bytes, engine: str | None = None,
         except ImportError:
             pass
     try:
+        return _decompress_shared_device(data, refs, verify)
+    except ImportError:
+        pass
+    try:
         return _decompress_device(data, refs, verify)
     except ImportError:
         return fgzip.decompress(data, engine=engine, multi=True)
@@ -253,6 +257,116 @@ def _decompress_native(data: bytes, refs: list[MemberRef],
             f"{int(crcs_expected[bad]):#010x}, computed "
             f"{int(crcs[bad]):#010x}")
     return out
+
+
+def _decompress_shared_device(data: bytes, refs: list[MemberRef],
+                              verify: bool) -> bytes:
+    """Shared-table speculative decode (Pallas kernel, groups of 128).
+
+    Requires every member in each group of 128 to carry an identical
+    single-final-dynamic-block header with code lengths ≤ 12 (the
+    shared-table encode mode guarantees this); raises ImportError to
+    fall back otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..ops.checksum import crc32_batch_jax
+    from ..ops.deflate_decode import (compact_marked_tokens,
+                                      expand_tokens_device,
+                                      follow_token_chain)
+    from ..ops.huffman import decode_table
+    from ..ops.pallas_decode import LANES, speculative_decode_positions
+    from ..serial.deflate import DeflateError
+    from .gzip import GzipError
+
+    if jax.default_backend() == "cpu":
+        raise ImportError("speculative kernel needs a TPU backend")
+    if not native.available():
+        raise ImportError("needs native header parse")
+
+    bsz = len(refs)
+    isizes = np.zeros((bsz,), np.int64)
+    crcs_expected = np.zeros((bsz,), np.uint32)
+    for i, ref in enumerate(refs):
+        crcs_expected[i], isizes[i] = struct.unpack_from(
+            "<II", data, ref.end - 8)
+    out_cap = int(isizes.max(initial=1)) or 1
+    out_cap = 1 << max(8, (out_cap - 1).bit_length())
+
+    bodies_all = b"".join(data[r.body:r.end - 8] for r in refs)
+    offs = np.zeros(bsz + 1, np.uint64)
+    for i, r in enumerate(refs):
+        offs[i + 1] = offs[i] + (r.end - 8 - r.body)
+    lit_ls, dist_ls, starts64, flags = native.parse_dyn_headers(
+        bodies_all, offs)
+    if not (flags == (1 | (C.BTYPE_DYNAMIC << 1))).all():
+        raise ImportError("non-uniform member layout")
+    if lit_ls.max() > 12 or dist_ls.max() > 12:
+        raise ImportError("code lengths exceed the 12-bit root")
+
+    max_body = int((offs[1:] - offs[:-1]).max())
+    w_cap = 4 * out_cap // 8  # shared mode never beats 0.5 ratio? no — cap:
+    w = max_body // 4 + 8
+    w = ((w - 4 + 63) // 64) * 64 + 4
+    del w_cap
+    p_total = 32 * w - 128
+
+    pieces: list[bytes] = []
+    for g0 in range(0, bsz, LANES):
+        group = list(range(g0, min(g0 + LANES, bsz)))
+        # group members must share tables
+        if not ((lit_ls[group] == lit_ls[group[0]]).all()
+                and (dist_ls[group] == dist_ls[group[0]]).all()):
+            raise ImportError("tables differ within a group")
+        lit_t = decode_table(jnp.asarray(lit_ls[group[0]]), 12)
+        dist_t = decode_table(jnp.asarray(dist_ls[group[0]]), 12)
+        words = np.zeros((1, w, LANES), np.uint32)
+        for k, i in enumerate(group):
+            body = data[refs[i].body:refs[i].end - 8]
+            arr = np.frombuffer(body + b"\x00" * ((-len(body)) % 4),
+                                np.uint8).view("<u4")
+            words[0, :len(arr), k] = arr
+        tok, nxt = speculative_decode_positions(
+            jnp.asarray(words), lit_t.astype(jnp.int32),
+            dist_t.astype(jnp.int32))
+        # phase B: chain-follow + compact (vmapped over streams)
+        tok_s = jnp.transpose(tok[0])            # (S, P)
+        nxt_s = jnp.transpose(nxt[0])
+        starts_g = np.zeros((LANES,), np.int32)
+        for k, i in enumerate(group):
+            starts_g[k] = int(starts64[i])
+        marks = jax.vmap(follow_token_chain)(nxt_s,
+                                             jnp.asarray(starts_g))
+        a, b, nt, err = jax.vmap(
+            lambda t, m: compact_marked_tokens(t, m, out_cap + 2)
+        )(tok_s, marks)
+        err_np = np.asarray(err)
+        for k, i in enumerate(group):
+            if err_np[k]:
+                raise DeflateError(
+                    f"speculative decode failed in member {i}")
+        out, n_out, xerr = expand_tokens_device(a, b, nt, out_cap)
+        out_np = np.asarray(out)
+        n_out_np = np.asarray(n_out)
+        xerr_np = np.asarray(xerr)
+        for k, i in enumerate(group):
+            if xerr_np[k] or int(n_out_np[k]) != int(isizes[i]):
+                raise GzipError(f"bad expansion in member {i}")
+        if verify:
+            right = np.zeros_like(out_np)
+            for k in range(len(group)):
+                ln = int(n_out_np[k])
+                if ln:
+                    right[k, out_cap - ln:] = out_np[k, :ln]
+            crcs = crc32_batch_jax(jnp.asarray(right), n_out_np)
+            for k, i in enumerate(group):
+                if int(crcs[k]) != int(crcs_expected[i]):
+                    raise GzipError(f"gzip CRC mismatch in member {i}")
+        for k, i in enumerate(group):
+            pieces.append(out_np[k, :int(n_out_np[k])].tobytes())
+    return b"".join(pieces)
 
 
 def _decompress_device(data: bytes, refs: list[MemberRef],

@@ -277,6 +277,86 @@ def expand_tokens_device(a: jnp.ndarray, b: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Speculative-decode phase B: chain-follow + token compaction
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def follow_token_chain(nextL: jnp.ndarray, start: jnp.ndarray,
+                       chunk: int = 512):
+    """Mark true token positions given per-position next pointers.
+
+    nextL: (P,) int32 — for a litlen symbol starting at bit p, the bit
+    position of the next litlen symbol (fixed point at EOB/invalid).
+    start: scalar int32 — first symbol's bit position.
+    Returns (P,) bool marks of the positions on the orbit of ``start``
+    (same chunked pointer-doubling scheme as ops/lz77.greedy_parse_marks,
+    generalized to an arbitrary jump map with fixed points).
+    """
+    p_total = nextL.shape[0]
+    s = chunk
+    n_chunks = p_total // s
+    idx = jnp.arange(p_total, dtype=jnp.int32)
+    jump = jnp.clip(nextL, 0, p_total - 1)
+    chunk_of = idx // s
+
+    g = jump
+    for _ in range(max(1, s.bit_length())):
+        inside = (g // s) == chunk_of
+        # fixed points stay put; others chase until outside the chunk
+        g = jnp.where(inside & (g != idx), g[g], g)
+
+    def chunk_step(pos, t):
+        in_chunk = (pos // s) == t
+        new_pos = jnp.where(in_chunk, g[jnp.clip(pos, 0, p_total - 1)],
+                            pos)
+        return new_pos, pos
+
+    _, entries = jax.lax.scan(chunk_step, start.astype(jnp.int32),
+                              jnp.arange(n_chunks, dtype=jnp.int32))
+
+    jump2d = jump.reshape(n_chunks, s)
+
+    def walk_step(pos, _):
+        t = jnp.arange(n_chunks, dtype=jnp.int32)
+        active = (pos // s) == t
+        local = jnp.clip(pos - t * s, 0, s - 1)
+        nxt = jnp.where(active, jump2d[t, local], pos)
+        return nxt, (active, local)
+
+    _, (marks_steps, locals_steps) = jax.lax.scan(
+        walk_step, entries, None, length=s)
+    flat_mark = marks_steps.reshape(-1)
+    flat_pos = (locals_steps +
+                (jnp.arange(n_chunks, dtype=jnp.int32)[None, :] * s)
+                ).reshape(-1)
+    return jnp.zeros((p_total,), jnp.bool_).at[flat_pos].max(flat_mark)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tokens",))
+def compact_marked_tokens(tok: jnp.ndarray, marks: jnp.ndarray,
+                          max_tokens: int):
+    """(P,) packed tokens + marks → dense (a, b, n_tokens, err).
+
+    Token packing per ops/pallas_decode: a | b<<9 | eob<<25 | bad<<26.
+    The EOB position is marked by the chain but is not a token.
+    """
+    from .pallas_decode import BAD_FLAG, EOB_FLAG
+    is_tok = marks & ((tok & (EOB_FLAG | BAD_FLAG)) == 0)
+    err = jnp.any(marks & ((tok & BAD_FLAG) != 0))
+    reached_eob = jnp.any(marks & ((tok & EOB_FLAG) != 0))
+    rank = jnp.cumsum(is_tok.astype(jnp.int32)) - 1
+    n_tokens = jnp.sum(is_tok.astype(jnp.int32))
+    a_src = tok & 0x1FF
+    b_src = (tok >> 9) & 0xFFFF
+    a = jnp.zeros((max_tokens,), jnp.int32).at[
+        jnp.clip(rank, 0, max_tokens - 1)].add(
+        jnp.where(is_tok, a_src, 0))
+    b = jnp.zeros((max_tokens,), jnp.int32).at[
+        jnp.clip(rank, 0, max_tokens - 1)].add(
+        jnp.where(is_tok, b_src, 0))
+    return a, b, n_tokens, err | ~reached_eob
+
+
+# ---------------------------------------------------------------------------
 # Table construction from code lengths (device)
 # ---------------------------------------------------------------------------
 def tables_from_lengths(lit_lengths: jnp.ndarray,

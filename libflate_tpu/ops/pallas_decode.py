@@ -186,8 +186,8 @@ def speculative_decode_positions(words: jnp.ndarray,
 
     def kernel(words_r, lit_r, dist_r, lb_r, le_r, db_r, de_r,
                tok_r, next_r):
-        _decode_kernel(words_r[0], lit_r, dist_r, lb_r, le_r, db_r, de_r,
-                       tok_r[0], next_r[0])
+        _decode_kernel(words_r.at[0], lit_r, dist_r, lb_r, le_r,
+                       db_r, de_r, tok_r.at[0], next_r.at[0])
 
     tok, nxt = pl.pallas_call(
         kernel,
