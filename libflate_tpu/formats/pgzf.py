@@ -224,10 +224,15 @@ def decompress(data: bytes, engine: str | None = None,
             return _decompress_native(data, refs, verify, n_threads)
         except ImportError:
             pass
-    try:
-        return _decompress_shared_device(data, refs, verify)
-    except ImportError:
-        pass
+    import os
+    if os.environ.get("LIBFLATE_SPEC_DECODE"):
+        # speculative Pallas path: position-decode kernel is fast
+        # (66 ms / 8 MiB), but its chain-follow/compaction still run in
+        # XLA — opt-in until the phase-B kernels land
+        try:
+            return _decompress_shared_device(data, refs, verify)
+        except ImportError:
+            pass
     try:
         return _decompress_device(data, refs, verify)
     except ImportError:
