@@ -53,9 +53,13 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
     None/"auto" (native if available, else device, else serial).
     """
     data = bytes(data)
+    # default: lazy matching (better ratio than the reference's greedy
+    # for ~10% encode cost); explicit matcher="greedy" opts out
+    lazy = not (options is not None
+                and getattr(options, "matcher", "") == "greedy")
     if engine in ("native", None, "auto"):
         try:
-            return _compress_native(data, member_size, n_threads)
+            return _compress_native(data, member_size, n_threads, lazy)
         except ImportError:
             pass
     if engine in ("tpu", None, "auto"):
@@ -75,7 +79,7 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
 
 
 def _compress_native(data: bytes, member_size: int,
-                     n_threads: int = 0) -> bytes:
+                     n_threads: int = 0, lazy: bool = False) -> bytes:
     from .. import native
     if not native.available():
         raise ImportError("native engine unavailable")
@@ -84,7 +88,8 @@ def _compress_native(data: bytes, member_size: int,
     offs = np.zeros(n_members + 1, np.uint64)
     for i in range(n_members):
         offs[i + 1] = min(n, (i + 1) * member_size)
-    bodies, crcs = native.deflate_batch(data, offs, n_threads=n_threads)
+    bodies, crcs = native.deflate_batch(data, offs, n_threads=n_threads,
+                                        lazy=lazy)
     out = bytearray()
     for i in range(n_members):
         nv = int(offs[i + 1] - offs[i])

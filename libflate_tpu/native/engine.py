@@ -9,8 +9,10 @@ from . import (adler32, available, crc32, deflate_greedy, inflate)
 def _deflate(data, opts=None):
     opts = opts or EncodeOptions()
     if opts.block_type == "dynamic" and opts.matcher in ("greedy", "chain"):
-        # native path: greedy matcher + dynamic blocks with RLE headers
-        return deflate_greedy(bytes(data), block_size=opts.block_size)
+        # native path: greedy/lazy matcher + dynamic blocks + RLE headers
+        return deflate_greedy(bytes(data), block_size=opts.block_size,
+                              lazy=opts.matcher == "chain" or opts.lazy
+                              and opts.matcher != "greedy")
     from ..serial.deflate import deflate as serial_deflate
     return serial_deflate(bytes(data), opts)
 
