@@ -54,12 +54,15 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
     """
     data = bytes(data)
     # default: lazy matching (better ratio than the reference's greedy
-    # for ~10% encode cost); explicit matcher="greedy" opts out
-    lazy = not (options is not None
-                and getattr(options, "matcher", "") == "greedy")
+    # for ~10% encode cost); matcher="greedy" opts out, matcher="chain"
+    # adds hash-chain search (zlib-6-class ratio)
+    matcher = getattr(options, "matcher", "") if options else ""
+    lazy = matcher != "greedy"
+    max_chain = getattr(options, "max_chain", 32) if matcher == "chain" else 1
     if engine in ("native", None, "auto"):
         try:
-            return _compress_native(data, member_size, n_threads, lazy)
+            return _compress_native(data, member_size, n_threads, lazy,
+                                    max_chain)
         except ImportError:
             pass
     if engine in ("tpu", None, "auto"):
@@ -79,7 +82,8 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
 
 
 def _compress_native(data: bytes, member_size: int,
-                     n_threads: int = 0, lazy: bool = False) -> bytes:
+                     n_threads: int = 0, lazy: bool = False,
+                     max_chain: int = 1) -> bytes:
     from .. import native
     if not native.available():
         raise ImportError("native engine unavailable")
@@ -89,7 +93,7 @@ def _compress_native(data: bytes, member_size: int,
     for i in range(n_members):
         offs[i + 1] = min(n, (i + 1) * member_size)
     bodies, crcs = native.deflate_batch(data, offs, n_threads=n_threads,
-                                        lazy=lazy)
+                                        lazy=lazy, max_chain=max_chain)
     out = bytearray()
     for i in range(n_members):
         nv = int(offs[i + 1] - offs[i])

@@ -67,11 +67,11 @@ def load():
         lib.lf_deflate_greedy.argtypes = [u8p, ctypes.c_uint64, u8p,
                                           ctypes.c_uint64, u64p,
                                           ctypes.c_uint64, ctypes.c_int]
-        lib.lf_deflate_greedy2.restype = ctypes.c_int
-        lib.lf_deflate_greedy2.argtypes = [u8p, ctypes.c_uint64, u8p,
-                                           ctypes.c_uint64, u64p,
-                                           ctypes.c_uint64, ctypes.c_int,
-                                           ctypes.c_int]
+        lib.lf_deflate3.restype = ctypes.c_int
+        lib.lf_deflate3.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                    ctypes.c_uint64, u64p,
+                                    ctypes.c_uint64, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
         lib.lf_parse_dyn_headers.restype = ctypes.c_int
         lib.lf_parse_dyn_headers.argtypes = [u8p, u64p, ctypes.c_int32,
                                              i32p, i32p, i64p, i32p]
@@ -85,7 +85,7 @@ def load():
         lib.lf_deflate_batch.argtypes = [u8p, u64p, ctypes.c_int32, u8p,
                                          ctypes.c_uint64, u64p, u32p,
                                          ctypes.c_uint64, ctypes.c_int32,
-                                         ctypes.c_int32]
+                                         ctypes.c_int32, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -156,15 +156,16 @@ def inflate(data: bytes, initial_cap: int | None = None):
 
 
 def deflate_greedy(data: bytes, block_size: int = 1 << 20,
-                   final: bool = True, lazy: bool = False) -> bytes:
+                   final: bool = True, lazy: bool = False,
+                   max_chain: int = 1) -> bytes:
     lib = load()
     src = np.frombuffer(bytes(data) + b"\x00", np.uint8)
     cap = len(data) + len(data) // 2 + 4096 + 400 * (len(data) // block_size + 1)
     dst = np.empty(cap, np.uint8)
     out_n = ctypes.c_uint64()
-    rc = lib.lf_deflate_greedy2(_as_u8p(src), len(data), _as_u8p(dst), cap,
-                                ctypes.byref(out_n), block_size,
-                                1 if final else 0, 1 if lazy else 0)
+    rc = lib.lf_deflate3(_as_u8p(src), len(data), _as_u8p(dst), cap,
+                         ctypes.byref(out_n), block_size,
+                         1 if final else 0, 1 if lazy else 0, max_chain)
     if rc:
         raise RuntimeError(f"native deflate failed: {rc}")
     return dst[:out_n.value].tobytes()
@@ -227,7 +228,7 @@ def inflate_batch(bodies: bytes, offsets: np.ndarray,
 
 def deflate_batch(data: bytes, chunk_offsets: np.ndarray,
                   block_size: int = 1 << 20, n_threads: int = 0,
-                  lazy: bool = False):
+                  lazy: bool = False, max_chain: int = 1):
     """Encode chunks of ``data`` as independent DEFLATE streams in
     parallel.  Returns (list of compressed bodies, crcs (B,))."""
     lib = load()
@@ -244,7 +245,7 @@ def deflate_batch(data: bytes, chunk_offsets: np.ndarray,
         b, _as_u8p(dst), stride,
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        block_size, n_threads, 1 if lazy else 0)
+        block_size, n_threads, 1 if lazy else 0, max_chain)
     if rc < 0:
         raise RuntimeError(f"encode failed in member {-rc - 1}")
     bodies = [dst[i * stride: i * stride + int(sizes[i])].tobytes()

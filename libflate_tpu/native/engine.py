@@ -10,9 +10,10 @@ def _deflate(data, opts=None):
     opts = opts or EncodeOptions()
     if opts.block_type == "dynamic" and opts.matcher in ("greedy", "chain"):
         # native path: greedy/lazy matcher + dynamic blocks + RLE headers
-        return deflate_greedy(bytes(data), block_size=opts.block_size,
-                              lazy=opts.matcher == "chain" or opts.lazy
-                              and opts.matcher != "greedy")
+        return deflate_greedy(
+            bytes(data), block_size=opts.block_size,
+            lazy=opts.matcher == "chain" or bool(opts.lazy),
+            max_chain=opts.max_chain if opts.matcher == "chain" else 1)
     from ..serial.deflate import deflate as serial_deflate
     return serial_deflate(bytes(data), opts)
 

@@ -674,15 +674,17 @@ static void emit_block(BitOut* bo, const Tok* toks, int64_t ntok, int bfinal) {
 // matcher core: greedy or one-step-lazy parse (lazy defers a match when
 // the next position holds a longer one — zlib-style, better ratio than
 // the reference's pure greedy at ~25% extra scan cost)
-int lf_deflate_greedy2(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
-                       uint64_t* out_n, uint64_t block_size, int final_marker,
-                       int lazy) {
+int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
+                uint64_t* out_n, uint64_t block_size, int final_marker,
+                int lazy, int max_chain) {
     enc_luts_init();
     BitOut bo; bo_init(&bo, dst, cap);
     const int HB = 16;                      // 64K buckets over the 3-byte hash
     // epoch-stamped heads packed as (epoch<<32)|pos in ONE array: a
     // single random cache access per input byte instead of two
     static thread_local uint64_t head2[1 << 16];
+    // hash-chain ring: back-link per position (valid within the window)
+    static thread_local uint32_t chain_ring[1 << 15];
     static thread_local uint32_t cur_epoch = 0;
     static thread_local Tok* toks = nullptr;
     static thread_local uint64_t toks_cap = 0;
@@ -712,19 +714,42 @@ int lf_deflate_greedy2(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t ca
             int64_t cand = (uint32_t)(slot >> 32) == cur_epoch
                            ? (int64_t)(uint32_t)slot : -1;
             head2[h] = ((uint64_t)cur_epoch << 32) | (uint32_t)at;
-            if (cand < (int64_t)bstart || at - cand > 32768) return 0;
-            if (src[cand] != src[at] || src[cand+1] != src[at+1] || src[cand+2] != src[at+2]) return 0;
+            chain_ring[at & 32767] = cand >= 0 ? (uint32_t)cand : 0xFFFFFFFFu;
             uint64_t maxl = bend - at < 258 ? bend - at : 258;
-            uint64_t L = 3;
-            while (L < maxl && src[cand + L] == src[at + L]) L++;
-            *dist = (uint32_t)(at - cand);
-            return (uint32_t)L;
+            uint32_t best_len = 0, best_dist = 0;
+            int chain_left = max_chain > 0 ? max_chain : 1;
+            while (cand >= (int64_t)bstart && at - cand <= 32768 && chain_left--) {
+                // cheap reject: candidate must beat best_len
+                if (best_len == 0 ||
+                    src[cand + best_len] == src[at + best_len]) {
+                    if (src[cand] == src[at] && src[cand+1] == src[at+1]
+                        && src[cand+2] == src[at+2]) {
+                        uint64_t L = 3;
+                        while (L < maxl && src[cand + L] == src[at + L]) L++;
+                        if (L > best_len) {
+                            best_len = (uint32_t)L;
+                            best_dist = (uint32_t)(at - cand);
+                            if (L >= maxl) break;
+                        }
+                    }
+                }
+                uint32_t nxt = chain_ring[cand & 32767];
+                if (nxt == 0xFFFFFFFFu || nxt >= (uint32_t)cand) break;
+                cand = nxt;
+            }
+            if (best_len < 3) return 0;
+            *dist = best_dist;
+            return best_len;
         };
         auto reindex = [&](uint64_t from, uint64_t to) {
             uint64_t stop = to < bend - 2 ? to : (bend >= 2 ? bend - 2 : 0);
             for (uint64_t j = from; j < stop; j++) {
                 uint32_t k2 = ((uint32_t)src[j] << 16) | ((uint32_t)src[j+1] << 8) | src[j+2];
                 uint32_t h2 = (k2 * 2654435761u) >> (32 - HB);
+                uint64_t slot2 = head2[h2];
+                chain_ring[j & 32767] =
+                    (uint32_t)(slot2 >> 32) == cur_epoch
+                    ? (uint32_t)slot2 : 0xFFFFFFFFu;
                 head2[h2] = ((uint64_t)cur_epoch << 32) | (uint32_t)j;
             }
         };
@@ -792,7 +817,13 @@ int lf_deflate_greedy2(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t ca
 
 int lf_deflate_greedy(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                       uint64_t* out_n, uint64_t block_size, int final_marker) {
-    return lf_deflate_greedy2(src, n, dst, cap, out_n, block_size, final_marker, 0);
+    return lf_deflate3(src, n, dst, cap, out_n, block_size, final_marker, 0, 1);
+}
+
+int lf_deflate_greedy2(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
+                       uint64_t* out_n, uint64_t block_size, int final_marker,
+                       int lazy) {
+    return lf_deflate3(src, n, dst, cap, out_n, block_size, final_marker, lazy, 1);
 }
 
 // ---------------------------------------------------------------------------
@@ -840,7 +871,8 @@ int lf_inflate_batch(const uint8_t* bodies, const uint64_t* offsets,
 int lf_deflate_batch(const uint8_t* data, const uint64_t* chunk_offsets,
                      int32_t batch, uint8_t* dst, uint64_t stride,
                      uint64_t* out_sizes, uint32_t* crcs,
-                     uint64_t block_size, int32_t n_threads, int32_t lazy) {
+                     uint64_t block_size, int32_t n_threads, int32_t lazy,
+                     int32_t max_chain) {
     crc_init();
     enc_luts_init();                   // single-threaded LUT init
     std::atomic<int32_t> next{0};
@@ -851,9 +883,9 @@ int lf_deflate_batch(const uint8_t* data, const uint64_t* chunk_offsets,
             if (i >= batch || bad.load() >= 0) return;
             uint64_t n = chunk_offsets[i + 1] - chunk_offsets[i];
             uint64_t on = 0;
-            int rc = lf_deflate_greedy2(data + chunk_offsets[i], n,
-                                        dst + (uint64_t)i * stride, stride,
-                                        &on, block_size, 1, lazy);
+            int rc = lf_deflate3(data + chunk_offsets[i], n,
+                                 dst + (uint64_t)i * stride, stride,
+                                 &on, block_size, 1, lazy, max_chain);
             if (rc != 0) { bad.store(i); return; }
             out_sizes[i] = on;
             if (crcs) crcs[i] = lf_crc32(data + chunk_offsets[i], n, 0);
