@@ -91,5 +91,16 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def run() -> int:
+    """Entry point with clean one-line error reporting."""
+    try:
+        return main()
+    except BrokenPipeError:
+        return 0
+    except (ValueError, OSError, EOFError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())
