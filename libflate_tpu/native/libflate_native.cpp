@@ -645,8 +645,11 @@ static void emit_block(BitOut* bo, const Tok* toks, int64_t ntok, int bfinal) {
     for (int i = 0; i < 30; i++) any_dist |= dist_freq[i] != 0;
     if (!any_dist) dist_freq[0] = 1;       // dummy (issue #23 parity)
     int32_t lit_l[286], dist_l[30];
-    pm_lengths(lit_freq, 286, 15, lit_l);
-    pm_lengths(dist_freq, 30, 15, dist_l);
+    // cap code lengths at 12: decode tables stay <= 4096 entries (8 KiB,
+    // L1-resident) and match the device shared-table root width; the
+    // ratio cost vs limit-15 is < 0.1%
+    pm_lengths(lit_freq, 286, 12, lit_l);
+    pm_lengths(dist_freq, 30, 12, dist_l);
     uint16_t lit_c[286], dist_c[30];
     canon_codes_rev(lit_l, 286, lit_c);
     canon_codes_rev(dist_l, 30, dist_c);
