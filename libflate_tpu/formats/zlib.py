@@ -96,7 +96,14 @@ class Header:
 def compress(data: bytes, options=None, header: Header | None = None,
              engine: str | None = None) -> bytes:
     eng = _backend.get(engine)
-    hdr = header or Header()
+    if header is None:
+        # CINFO reflects the encoder's actual window (parity:
+        # zlib::Encoder setting CMF from the lz77 window size)
+        ws = getattr(options, "window_size", None) if options else None
+        hdr = Header(Lz77WindowSize.from_window_size(ws)
+                     if ws else Lz77WindowSize.KB32)
+    else:
+        hdr = header
     body = eng.deflate(data, options)
     adler = eng.adler32(data)
     return hdr.encode() + bytes(body) + struct.pack(">I", adler)
