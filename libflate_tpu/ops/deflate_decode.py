@@ -331,6 +331,45 @@ def follow_token_chain(nextL: jnp.ndarray, start: jnp.ndarray,
     return jnp.zeros((p_total,), jnp.bool_).at[flat_pos].max(flat_mark)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def follow_token_chain_from_exits(nextL: jnp.ndarray, g: jnp.ndarray,
+                                  start: jnp.ndarray, chunk: int = 512):
+    """Chain-follow given precomputed chunk-exit maps ``g`` (from the
+    Pallas chunk_exit_maps kernel) — skips the XLA pointer-doubling
+    that dominates follow_token_chain."""
+    p_total = nextL.shape[0]
+    s = chunk
+    n_chunks = p_total // s
+    jump = jnp.clip(nextL, 0, p_total - 1)
+    g = jnp.clip(g, 0, p_total - 1)
+
+    def chunk_step(pos, t):
+        in_chunk = (pos // s) == t
+        new_pos = jnp.where(in_chunk, g[jnp.clip(pos, 0, p_total - 1)],
+                            pos)
+        return new_pos, pos
+
+    _, entries = jax.lax.scan(chunk_step, start.astype(jnp.int32),
+                              jnp.arange(n_chunks, dtype=jnp.int32))
+
+    jump2d = jump.reshape(n_chunks, s)
+
+    def walk_step(pos, _):
+        t = jnp.arange(n_chunks, dtype=jnp.int32)
+        active = (pos // s) == t
+        local = jnp.clip(pos - t * s, 0, s - 1)
+        nxt = jnp.where(active, jump2d[t, local], pos)
+        return nxt, (active, local)
+
+    _, (marks_steps, locals_steps) = jax.lax.scan(
+        walk_step, entries, None, length=s)
+    flat_mark = marks_steps.reshape(-1)
+    flat_pos = (locals_steps +
+                (jnp.arange(n_chunks, dtype=jnp.int32)[None, :] * s)
+                ).reshape(-1)
+    return jnp.zeros((p_total,), jnp.bool_).at[flat_pos].max(flat_mark)
+
+
 @functools.partial(jax.jit, static_argnames=("max_tokens",))
 def compact_marked_tokens(tok: jnp.ndarray, marks: jnp.ndarray,
                           max_tokens: int):

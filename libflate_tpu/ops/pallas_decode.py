@@ -150,6 +150,88 @@ def _decode_kernel(words_ref, lit_ref, dist_ref, lb_ref, le_ref,
     jax.lax.fori_loop(0, POS_PER_PROG // SUBLANES, tile, 0)
 
 
+CHAIN_CHUNK = 512        # bit positions per chunk-exit program
+MAX_JUMP = 48            # max bits per symbol (12+5+12+13 < 48)
+
+
+def _chunk_exit_kernel(next_ref, out_ref):
+    """Backward DP: out[l] = first orbit position outside this chunk
+    (or the terminal/fixed position), for every l in a 512-row chunk.
+
+    Row l's successor lies in (l, l+MAX_JUMP] — at most 6 vregs ahead —
+    so a reverse sweep over 8-row tiles needs only (a) 3 pointer-doubling
+    rounds *within* the tile (8-deep dynamic_gather) and (b) a 7-group
+    select over already-computed rows below.
+    """
+    g = pl.program_id(1)
+    base = g * CHAIN_CHUNK
+    n_tiles = CHAIN_CHUNK // SUBLANES
+
+    def tile_step(i, _):
+        t = n_tiles - 1 - i
+        r0 = t * SUBLANES
+        rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        abs_pos = base + r0 + rows
+        v = next_ref[pl.ds(r0, SUBLANES), :]
+        done = (v >= base + CHAIN_CHUNK) | (v <= abs_pos)
+
+        # (a) in-tile chains: after 3 doublings every live pointer has
+        # left the tile or reached a terminal
+        for _ in range(3):
+            local = jnp.clip(v - (base + r0), 0, SUBLANES - 1)
+            in_tile = (~done & (v >= base + r0)
+                       & (v < base + r0 + SUBLANES))
+            v2 = jnp.take_along_axis(v, local, axis=0)
+            d2 = jnp.take_along_axis(done, local, axis=0)
+            done = jnp.where(in_tile, d2 | (v2 >= base + CHAIN_CHUNK)
+                             | (v2 <= v), done)
+            v = jnp.where(in_tile, v2, v)
+
+        # (b) rows below the tile are final: select over 7 row-groups.
+        # r0 is traced, so clamp reads at the chunk boundary; the `hit`
+        # guard is false there anyway (done covers v >= chunk end).
+        acc = v
+        for k in range(1, 8):
+            gr0 = r0 + k * SUBLANES
+            gr0c = jnp.minimum(gr0, CHAIN_CHUNK - SUBLANES)
+            ex_rows = out_ref[pl.ds(gr0c, SUBLANES), :]
+            local = jnp.clip(v - (base + gr0c), 0, SUBLANES - 1)
+            cand = jnp.take_along_axis(ex_rows, local, axis=0)
+            hit = (~done & (v >= base + gr0)
+                   & (v < base + gr0 + SUBLANES)
+                   & (gr0 < CHAIN_CHUNK))
+            acc = jnp.where(hit, cand, acc)
+        out_ref[pl.ds(r0, SUBLANES), :] = jnp.where(done, v, acc)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def chunk_exit_maps(next_l: jnp.ndarray) -> jnp.ndarray:
+    """Per-position chunk-exit maps for (G, P, 128) next pointers.
+
+    P must be a multiple of CHAIN_CHUNK.  exit[p] = first position on
+    the orbit of p outside p's 512-chunk (terminals stay put).
+    """
+    g_, p_total, lanes = next_l.shape
+    assert lanes == LANES and p_total % CHAIN_CHUNK == 0
+    grid = (g_, p_total // CHAIN_CHUNK)
+    spec = pl.BlockSpec((1, CHAIN_CHUNK, LANES), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+
+    def kernel(next_r, out_r):
+        _chunk_exit_kernel(next_r.at[0], out_r.at[0])
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((g_, p_total, LANES), jnp.int32),
+    )(next_l)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def speculative_decode_positions(words: jnp.ndarray,
                                  lit_table: jnp.ndarray,

@@ -116,11 +116,22 @@ class TestSpeculativeKernel:
             words[0, :len(arr), l] = arr
         tok, nxt = speculative_decode_positions(jnp.asarray(words),
                                                 lit_t, dist_t)
+        from libflate_tpu.ops.deflate_decode import \
+            follow_token_chain_from_exits
+        from libflate_tpu.ops.pallas_decode import chunk_exit_maps
+        exits = chunk_exit_maps(nxt)
         tok_s = jnp.transpose(tok[0])
         nxt_s = jnp.transpose(nxt[0])
+        exits_s = jnp.transpose(exits[0])
         starts_g = np.zeros(128, np.int32)
         starts_g[:len(bodies)] = starts
-        marks = jax.vmap(follow_token_chain)(nxt_s, jnp.asarray(starts_g))
+        marks = jax.vmap(follow_token_chain_from_exits)(
+            nxt_s, exits_s, jnp.asarray(starts_g))
+        # cross-check against the pure-XLA chain follow
+        marks_ref = jax.vmap(follow_token_chain)(nxt_s,
+                                                 jnp.asarray(starts_g))
+        assert (np.asarray(marks)[:len(bodies)] ==
+                np.asarray(marks_ref)[:len(bodies)]).all()
         a, b, nt, err = jax.vmap(
             lambda t, m: compact_marked_tokens(t, m, 2048))(tok_s, marks)
         out, n_out, xerr = expand_tokens_device(a, b, nt, 2048)
