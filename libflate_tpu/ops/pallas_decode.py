@@ -173,18 +173,21 @@ def _chunk_exit_kernel(next_ref, out_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
         abs_pos = base + r0 + rows
         v = next_ref[pl.ds(r0, SUBLANES), :]
-        done = (v >= base + CHAIN_CHUNK) | (v <= abs_pos)
+        # done as int32: Mosaic's dynamic_gather has no 1-bit lanes
+        done = ((v >= base + CHAIN_CHUNK) | (v <= abs_pos)
+                ).astype(jnp.int32)
 
         # (a) in-tile chains: after 3 doublings every live pointer has
         # left the tile or reached a terminal
         for _ in range(3):
             local = jnp.clip(v - (base + r0), 0, SUBLANES - 1)
-            in_tile = (~done & (v >= base + r0)
+            in_tile = ((done == 0) & (v >= base + r0)
                        & (v < base + r0 + SUBLANES))
             v2 = jnp.take_along_axis(v, local, axis=0)
             d2 = jnp.take_along_axis(done, local, axis=0)
-            done = jnp.where(in_tile, d2 | (v2 >= base + CHAIN_CHUNK)
-                             | (v2 <= v), done)
+            new_done = jnp.where(
+                (d2 != 0) | (v2 >= base + CHAIN_CHUNK) | (v2 <= v), 1, 0)
+            done = jnp.where(in_tile, new_done, done)
             v = jnp.where(in_tile, v2, v)
 
         # (b) rows below the tile are final: select over 7 row-groups.
@@ -197,11 +200,11 @@ def _chunk_exit_kernel(next_ref, out_ref):
             ex_rows = out_ref[pl.ds(gr0c, SUBLANES), :]
             local = jnp.clip(v - (base + gr0c), 0, SUBLANES - 1)
             cand = jnp.take_along_axis(ex_rows, local, axis=0)
-            hit = (~done & (v >= base + gr0)
+            hit = ((done == 0) & (v >= base + gr0)
                    & (v < base + gr0 + SUBLANES)
                    & (gr0 < CHAIN_CHUNK))
             acc = jnp.where(hit, cand, acc)
-        out_ref[pl.ds(r0, SUBLANES), :] = jnp.where(done, v, acc)
+        out_ref[pl.ds(r0, SUBLANES), :] = jnp.where(done != 0, v, acc)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_step, 0)
