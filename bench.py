@@ -65,7 +65,7 @@ def _log(msg: str) -> None:
 
 
 def main() -> None:
-    mb = int(os.environ.get("BENCH_MB", "32"))
+    mb = int(os.environ.get("BENCH_MB", "16"))
     engine = os.environ.get("BENCH_ENGINE", "tpu")
     _log(f"generating {mb} MiB corpus")
     data = make_corpus(mb)
