@@ -105,7 +105,17 @@ def main() -> None:
         _log(f"native enc {gb / enc_t:.3f} dec {gb / dec_t:.3f} GB/s")
 
     # --- device (TPU) pipeline --------------------------------------------
+    # capped: first-time XLA compiles can exceed any reasonable budget,
+    # and the JSON line must be printed regardless
     if engine != "native" and _device_ok():
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("device phase budget exceeded")
+
+        budget = int(os.environ.get("BENCH_DEVICE_TIMEOUT", "240"))
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(budget)
         try:
             _log("device encode (compile + run)")
             stream = pgzf.compress(data, member_size=member_size,
@@ -122,6 +132,8 @@ def main() -> None:
         except Exception as e:                      # noqa: BLE001
             _log(f"device path failed: {type(e).__name__}: {e}")
             extra["device_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            signal.alarm(0)
 
     if not results:
         raise SystemExit("no engine available to benchmark")
