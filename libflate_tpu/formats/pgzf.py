@@ -320,10 +320,10 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
         raise ImportError("code lengths exceed the 12-bit root")
 
     max_body = int((offs[1:] - offs[:-1]).max())
-    w_cap = 4 * out_cap // 8  # shared mode never beats 0.5 ratio? no — cap:
+    # W ≡ 4 (mod 64) makes P = 32W-128 a multiple of 2048 (the position
+    # kernel's grid unit, itself a multiple of the 512 chain chunk)
     w = max_body // 4 + 8
     w = ((w - 4 + 63) // 64) * 64 + 4
-    del w_cap
     p_total = 32 * w - 128
 
     pieces: list[bytes] = []
