@@ -287,8 +287,7 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
 
     from .. import native
     from ..ops.checksum import crc32_batch_jax
-    from ..ops.deflate_decode import (compact_marked_tokens,
-                                      expand_tokens_device)
+    from ..ops.deflate_decode import expand_tokens_device
     from ..ops.huffman import decode_table
     from ..ops.pallas_decode import LANES, speculative_decode_positions
     from ..serial.deflate import DeflateError
@@ -344,22 +343,21 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
         tok, nxt = speculative_decode_positions(
             jnp.asarray(words), lit_t.astype(jnp.int32),
             dist_t.astype(jnp.int32))
-        # phase B: chain-follow + compact (vmapped over streams); the
-        # pointer-doubling runs in the Pallas chunk-exit kernel
-        from ..ops.deflate_decode import follow_token_chain_from_exits
-        from ..ops.pallas_decode import chunk_exit_maps
+        # phase B, all Pallas: chunk-exit maps (backward DP) → entry
+        # threading (tiny XLA scan) → walk-emit kernel (tokens land on
+        # sequential rows, so compaction is a reshape + mask)
+        from ..ops.deflate_decode import chain_entries, tokens_from_emit
+        from ..ops.pallas_decode import chunk_exit_maps, walk_emit
         exits = chunk_exit_maps(nxt)             # (1, P, 128)
-        tok_s = jnp.transpose(tok[0])            # (S, P)
-        nxt_s = jnp.transpose(nxt[0])
         exits_s = jnp.transpose(exits[0])
         starts_g = np.zeros((LANES,), np.int32)
         for k, i in enumerate(group):
             starts_g[k] = int(starts64[i])
-        marks = jax.vmap(follow_token_chain_from_exits)(
-            nxt_s, exits_s, jnp.asarray(starts_g))
-        a, b, nt, err = jax.vmap(
-            lambda t, m: compact_marked_tokens(t, m, out_cap + 2)
-        )(tok_s, marks)
+        entries = jax.vmap(chain_entries)(exits_s,
+                                          jnp.asarray(starts_g))
+        emit = walk_emit(nxt, tok,
+                         jnp.transpose(entries)[None, :, :])
+        a, b, nt, err = tokens_from_emit(emit[0], out_cap + 2)
         err_np = np.asarray(err)
         for k, i in enumerate(group):
             if err_np[k]:

@@ -370,6 +370,53 @@ def follow_token_chain_from_exits(nextL: jnp.ndarray, g: jnp.ndarray,
     return jnp.zeros((p_total,), jnp.bool_).at[flat_pos].max(flat_mark)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def chain_entries(g: jnp.ndarray, start: jnp.ndarray,
+                  chunk: int = 512) -> jnp.ndarray:
+    """Orbit position at each chunk start, from chunk-exit maps ``g``.
+
+    Returns (n_chunks,) int32 — the input to the walk-emit kernel.
+    """
+    p_total = g.shape[0]
+    s = chunk
+    n_chunks = p_total // s
+    g = jnp.clip(g, 0, p_total - 1)
+
+    def chunk_step(pos, t):
+        in_chunk = (pos // s) == t
+        new_pos = jnp.where(in_chunk, g[jnp.clip(pos, 0, p_total - 1)],
+                            pos)
+        return new_pos, pos
+
+    _, entries = jax.lax.scan(chunk_step, start.astype(jnp.int32),
+                              jnp.arange(n_chunks, dtype=jnp.int32))
+    return entries
+
+
+@functools.partial(jax.jit, static_argnames=("max_tokens",))
+def tokens_from_emit(emit: jnp.ndarray, max_tokens: int):
+    """Stitch walk-emit kernel output into dense per-stream tokens.
+
+    emit: (n_chunks * EMIT_ROWS, 128) int32 for one group.
+    Returns (a (S, max_tokens), b, n_tokens (S,), err (S,)).
+    err includes per-chunk overflow (flag row == -1).
+    """
+    from .pallas_decode import EMIT_ROWS, LANES, MAX_EMIT
+    rows = emit.shape[0]
+    n_chunks = rows // EMIT_ROWS
+    blocks = emit.reshape(n_chunks, EMIT_ROWS, LANES)
+    tok_rows = blocks[:, :MAX_EMIT, :].reshape(n_chunks * MAX_EMIT, LANES)
+    overflow = jnp.any(blocks[:, MAX_EMIT, :] == -1, axis=0)   # (S,)
+    valid = tok_rows != -1
+    tok_s = jnp.transpose(tok_rows)                            # (S, N)
+    valid_s = jnp.transpose(valid)
+
+    a, b, nt, err = jax.vmap(
+        lambda t, m: compact_marked_tokens(t, m, max_tokens))(
+        tok_s, valid_s)
+    return a, b, nt, err | overflow
+
+
 @functools.partial(jax.jit, static_argnames=("max_tokens",))
 def compact_marked_tokens(tok: jnp.ndarray, marks: jnp.ndarray,
                           max_tokens: int):

@@ -235,6 +235,102 @@ def chunk_exit_maps(next_l: jnp.ndarray) -> jnp.ndarray:
     )(next_l)
 
 
+MAX_EMIT = 128           # token slots per 512-bit chunk (2x typical)
+EMIT_ROWS = MAX_EMIT + 8  # + one 8-row stripe carrying the count
+EMIT_INVALID = -1   # plain int: a jnp scalar would be a captured constant
+
+
+def _gather512(chunk_rows, local, n_groups: int = CHAIN_CHUNK // SUBLANES):
+    """Gather chunk_rows[(local), lane] for local (1,128) in [0,512).
+
+    Row-group select: 64 groups × one 8-deep per-lane dynamic_gather.
+    """
+    idx8 = jnp.broadcast_to(local, (SUBLANES, LANES))
+    acc = jnp.zeros((1, LANES), jnp.int32)
+    grp = local >> 3
+    for k in range(n_groups):
+        rows = chunk_rows[k * SUBLANES:(k + 1) * SUBLANES, :]
+        sub = jnp.clip(idx8 - k * SUBLANES, 0, SUBLANES - 1)
+        cand = jnp.take_along_axis(rows, sub, axis=0)[0:1, :]
+        acc = jnp.where(grp == k, cand, acc)
+    return acc
+
+
+def _walk_emit_kernel(next_ref, tok_ref, entries_ref, out_ref):
+    """Per chunk: walk the token chain from the chunk's entry position,
+    writing each token to a *sequential* output row — compaction falls
+    out of the walk, no scatter needed.
+
+    Output block layout (EMIT_ROWS, 128): rows [0, MAX_EMIT) tokens
+    (EMIT_INVALID where the walk had already left the chunk), row
+    MAX_EMIT = emitted count, or -1 on overflow (caller falls back).
+    """
+    c = pl.program_id(1)
+    base = c * CHAIN_CHUNK
+    nxt = next_ref[:]                       # (512, 128)
+    tk = tok_ref[:]
+    cursor = entries_ref[pl.ds(c, 1), :]    # (1, 128) absolute positions
+
+    def step(i, cur):
+        in_chunk = (cur >= base) & (cur < base + CHAIN_CHUNK)
+        local = jnp.clip(cur - base, 0, CHAIN_CHUNK - 1)
+        tokv = _gather512(tk, local)
+        nv = _gather512(nxt, local)
+        out_ref[pl.ds(i, 1), :] = jnp.where(in_chunk, tokv, EMIT_INVALID)
+        # terminals (EOB/bad) have nv == cur and stay, but they leave
+        # the chunk logically once emitted: advance to a sentinel so the
+        # same token is not emitted twice
+        moved = jnp.where(nv == cur, jnp.int32(0x7FFFFFF0), nv)
+        return jnp.where(in_chunk, moved, cur)
+
+    cur = jax.lax.fori_loop(0, MAX_EMIT, step, cursor)
+    # count = emitted tokens; overflow if the walk is still inside
+    still_in = (cur >= base) & (cur < base + CHAIN_CHUNK)
+    count_row = jnp.zeros((SUBLANES, LANES), jnp.int32)
+    # count is reconstructed by the caller from valid rows; row MAX_EMIT
+    # carries the overflow flag only
+    count_row = count_row.at[0:1, :].set(
+        jnp.where(still_in, -1, 0))
+    out_ref[pl.ds(MAX_EMIT, SUBLANES), :] = count_row
+
+
+@functools.partial(jax.jit, static_argnames=())
+def walk_emit(next_l: jnp.ndarray, tok: jnp.ndarray,
+              entries: jnp.ndarray):
+    """Token emission for (G, P, 128) speculative outputs.
+
+    entries: (G, n_chunks, 128) — orbit position at each chunk start
+    (from the chunk-exit composition).  Returns (G, n_chunks*EMIT_ROWS,
+    128) int32 blocks per chunk: MAX_EMIT token rows + a flag stripe.
+    """
+    g_, p_total, lanes = next_l.shape
+    assert lanes == LANES and p_total % CHAIN_CHUNK == 0
+    n_chunks = p_total // CHAIN_CHUNK
+    grid = (g_, n_chunks)
+    spec_chunk = pl.BlockSpec((1, CHAIN_CHUNK, LANES),
+                              lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+    spec_entries = pl.BlockSpec((1, n_chunks, LANES),
+                                lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, EMIT_ROWS, LANES),
+                            lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(next_r, tok_r, ent_r, out_r):
+        _walk_emit_kernel(next_r.at[0], tok_r.at[0], ent_r.at[0],
+                          out_r.at[0])
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_chunk, spec_chunk, spec_entries],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((g_, n_chunks * EMIT_ROWS, LANES),
+                                       jnp.int32),
+    )(next_l, tok, entries)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def speculative_decode_positions(words: jnp.ndarray,
                                  lit_table: jnp.ndarray,

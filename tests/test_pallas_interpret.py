@@ -142,6 +142,21 @@ class TestSpeculativeKernel:
             assert not bool(np.asarray(xerr)[l])
             assert out_np[l, :int(n_np[l])].tobytes() == c
 
+        # walk-emit path must produce identical token streams
+        from libflate_tpu.ops.deflate_decode import (chain_entries,
+                                                     tokens_from_emit)
+        from libflate_tpu.ops.pallas_decode import walk_emit
+        entries = jax.vmap(chain_entries)(exits_s,
+                                          jnp.asarray(starts_g))
+        emit = walk_emit(nxt, tok, jnp.transpose(entries)[None, :, :])
+        a2, b2, nt2, err2 = tokens_from_emit(emit[0], 2048)
+        for l, c in enumerate(chunks):
+            assert not bool(np.asarray(err2)[l])
+            n1 = int(np.asarray(nt)[l])
+            assert int(np.asarray(nt2)[l]) == n1
+            assert (np.asarray(a2)[l, :n1] == np.asarray(a)[l, :n1]).all()
+            assert (np.asarray(b2)[l, :n1] == np.asarray(b)[l, :n1]).all()
+
 
 class TestShardedDecode:
     def test_decode_members_sharded(self):
