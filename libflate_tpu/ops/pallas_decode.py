@@ -284,13 +284,13 @@ def _walk_emit_kernel(next_ref, tok_ref, entries_ref, out_ref):
         return jnp.where(in_chunk, moved, cur)
 
     cur = jax.lax.fori_loop(0, MAX_EMIT, step, cursor)
-    # count = emitted tokens; overflow if the walk is still inside
+    # overflow flag stripe (count itself is reconstructed by the caller
+    # from valid rows); built by concat — .at[].set lowers to scatter,
+    # which Mosaic lacks
     still_in = (cur >= base) & (cur < base + CHAIN_CHUNK)
-    count_row = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    # count is reconstructed by the caller from valid rows; row MAX_EMIT
-    # carries the overflow flag only
-    count_row = count_row.at[0:1, :].set(
-        jnp.where(still_in, -1, 0))
+    flag = jnp.where(still_in, jnp.int32(-1), jnp.int32(0))
+    count_row = jnp.concatenate(
+        [flag, jnp.zeros((SUBLANES - 1, LANES), jnp.int32)], axis=0)
     out_ref[pl.ds(MAX_EMIT, SUBLANES), :] = count_row
 
 
