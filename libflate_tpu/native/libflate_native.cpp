@@ -904,6 +904,62 @@ int lf_deflate_batch(const uint8_t* data, const uint64_t* chunk_offsets,
     return bad.load() >= 0 ? -(bad.load() + 1) : 0;
 }
 
+// expand decoded LZ77 token batches (device decode's final stage: the
+// overlapping-copy expansion is memcpy-speed on the host).
+// a/b: (batch, stride) int32 token arrays (b==0 literal, else distance),
+// counts: tokens per member; out slots at out_offsets; crcs optional.
+int lf_expand_batch(const int32_t* a, const int32_t* b, int64_t stride,
+                    const int64_t* counts, int32_t batch, uint8_t* out,
+                    const uint64_t* out_offsets, uint32_t* crcs,
+                    int32_t n_threads) {
+    crc_init();
+    std::atomic<int32_t> next{0};
+    std::atomic<int32_t> bad{-1};
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= batch || bad.load() >= 0) return;
+            const int32_t* ai = a + (int64_t)i * stride;
+            const int32_t* bi = b + (int64_t)i * stride;
+            uint8_t* dst = out + out_offsets[i];
+            uint64_t cap = out_offsets[i + 1] - out_offsets[i];
+            uint64_t o = 0;
+            int64_t n = counts[i];
+            for (int64_t t = 0; t < n; t++) {
+                int32_t bb = bi[t];
+                if (bb == 0) {
+                    if (o >= cap) { bad.store(i); return; }
+                    dst[o++] = (uint8_t)ai[t];
+                } else {
+                    uint32_t len = (uint32_t)ai[t];
+                    if ((uint64_t)bb > o || o + len > cap) {
+                        bad.store(i); return;
+                    }
+                    const uint8_t* s = dst + o - bb;
+                    uint8_t* d = dst + o;
+                    o += len;
+                    if (bb >= 8) {
+                        while (len >= 8) { memcpy(d, s, 8); d += 8; s += 8; len -= 8; }
+                        while (len--) *d++ = *s++;
+                    } else {
+                        while (len--) *d++ = *s++;
+                    }
+                }
+            }
+            if (o != cap) { bad.store(i); return; }
+            if (crcs) crcs[i] = lf_crc32(dst, o, 0);
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    return bad.load() >= 0 ? -(bad.load() + 1) : 0;
+}
+
 // ---------------------------------------------------------------------------
 // Bit splice: shift many bit-streams to packed concatenation
 // ---------------------------------------------------------------------------
