@@ -313,8 +313,8 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
         bodies_all, offs)
     if not (flags == (1 | (C.BTYPE_DYNAMIC << 1))).all():
         raise ImportError("non-uniform member layout")
-    if lit_ls.max() > 12 or dist_ls.max() > 12:
-        raise ImportError("code lengths exceed the 12-bit root")
+    if lit_ls.max() > 12 or dist_ls.max() > 8:
+        raise ImportError("code lengths exceed the 12/8-bit roots")
 
     max_body = int((offs[1:] - offs[:-1]).max())
     # W ≡ 4 (mod 64) makes P = 32W-128 a multiple of 2048 (the position
@@ -331,7 +331,7 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
                 and (dist_ls[group] == dist_ls[group[0]]).all()):
             raise ImportError("tables differ within a group")
         lit_t = decode_table(jnp.asarray(lit_ls[group[0]]), 12)
-        dist_t = decode_table(jnp.asarray(dist_ls[group[0]]), 12)
+        dist_t = decode_table(jnp.asarray(dist_ls[group[0]]), 8)
         words = np.zeros((1, w, LANES), np.uint32)
         for k, i in enumerate(group):
             body = data[refs[i].body:refs[i].end - 8]

@@ -40,7 +40,8 @@ from ..spec import constants as C
 LANES = 128
 SUBLANES = 8
 POS_PER_PROG = 2048          # bit positions handled by one grid program
-ROOT_BITS = 12               # shared tables are built with limit 12
+ROOT_BITS = 12               # litlen root (shared tables, limit 12)
+DIST_ROOT_BITS = 8           # distance root (30 symbols, limit 8)
 
 EOB_FLAG = 1 << 25
 BAD_FLAG = 1 << 26
@@ -123,8 +124,8 @@ def _decode_kernel(words_ref, lit_ref, dist_ref, lb_ref, le_ref,
                                   ((jnp.uint32(1) << lnx.astype(jnp.uint32))
                                    - 1))
         k2 = w + jnp.where(is_len, lnx, 0)
-        didx = _bits_at(lo, hi, k2, jnp.uint32((1 << ROOT_BITS) - 1))
-        de2 = _shared_lut(dist_rows, didx, (1 << ROOT_BITS) // LANES)
+        didx = _bits_at(lo, hi, k2, jnp.uint32((1 << DIST_ROOT_BITS) - 1))
+        de2 = _shared_lut(dist_rows, didx, (1 << DIST_ROOT_BITS) // LANES)
         dw = de2 & 15
         dsym = jnp.clip(de2 >> 4, 0, 29)
         dbad = is_len & (de2 == 0)
@@ -352,13 +353,16 @@ def speculative_decode_positions(words: jnp.ndarray,
     assert p_total % POS_PER_PROG == 0
 
     lit_rows = lit_table.reshape((1 << ROOT_BITS) // LANES, LANES)
-    dist_rows = dist_table.reshape((1 << ROOT_BITS) // LANES, LANES)
+    dist_rows = dist_table.reshape((1 << DIST_ROOT_BITS) // LANES, LANES)
 
     grid = (g_, p_total // POS_PER_PROG)
     spec_words = pl.BlockSpec((1, w_, LANES), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     spec_tab = pl.BlockSpec(((1 << ROOT_BITS) // LANES, LANES),
                             lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    spec_dtab = pl.BlockSpec(((1 << DIST_ROOT_BITS) // LANES, LANES),
+                             lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
     spec_row = pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, POS_PER_PROG, LANES),
@@ -373,7 +377,7 @@ def speculative_decode_positions(words: jnp.ndarray,
     tok, nxt = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec_words, spec_tab, spec_tab,
+        in_specs=[spec_words, spec_tab, spec_dtab,
                   spec_row, spec_row, spec_row, spec_row],
         out_specs=[spec_out, spec_out],
         out_shape=[jax.ShapeDtypeStruct((g_, p_total, LANES), jnp.int32),

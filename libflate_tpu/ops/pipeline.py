@@ -99,8 +99,11 @@ def _shared_stats(a, b, cnt, max_len: int = 12):
 
     lit_freq, dist_freq = jax.vmap(token_histograms_jax)(a, b, cnt)
     lit_lengths = package_merge_lengths(jnp.sum(lit_freq, axis=0), max_len)
+    # distance alphabet is 30 symbols: an 8-bit cap costs <0.1% ratio
+    # and keeps the decoder's distance root table at 2 lane-shuffle
+    # row groups instead of 32
     dist_lengths = package_merge_lengths(jnp.sum(dist_freq, axis=0),
-                                         max_len)
+                                         min(max_len, 8))
     lit_rev, lit_w = _encoder_tables(lit_lengths)
     dist_rev, dist_w = _encoder_tables(dist_lengths)
     return lit_lengths, dist_lengths, lit_rev, lit_w, dist_rev, dist_w

@@ -80,7 +80,7 @@ class TestSpeculativeKernel:
         if not dist_freq.any():
             dist_freq[0] = 1
         ll = package_merge(lit_freq, 12)
-        dl = package_merge(dist_freq, 12)
+        dl = package_merge(dist_freq, 8)
         bodies, starts = [], []
         for toks in tokens:
             w = BitWriter()
@@ -105,7 +105,7 @@ class TestSpeculativeKernel:
             speculative_decode_positions
         chunks, bodies, starts, ll, dl = self._shared_streams()
         lit_t = decode_table(jnp.asarray(ll), 12).astype(jnp.int32)
-        dist_t = decode_table(jnp.asarray(dl), 12).astype(jnp.int32)
+        dist_t = decode_table(jnp.asarray(dl), 8).astype(jnp.int32)
         max_bytes = max(len(b) for b in bodies)
         w = (max_bytes + 3) // 4 + 4
         w = ((w - 4 + 63) // 64) * 64 + 4
