@@ -344,7 +344,8 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
         # phase B, all Pallas: chunk-exit maps (backward DP) → entry
         # threading (tiny XLA scan) → walk-emit kernel (tokens land on
         # sequential rows, so compaction is a reshape + mask)
-        from ..ops.deflate_decode import chain_entries, tokens_from_emit
+        from ..ops.deflate_decode import (chain_entries,
+                                          tokens_from_emit_packed)
         from ..ops.pallas_decode import chunk_exit_maps, walk_emit
         exits = chunk_exit_maps(nxt)             # (1, P, 128)
         exits_s = jnp.transpose(exits[0])
@@ -355,7 +356,7 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
                                           jnp.asarray(starts_g))
         emit = walk_emit(nxt, tok,
                          jnp.transpose(entries)[None, :, :])
-        a, b, nt, err = tokens_from_emit(emit[0], out_cap + 2)
+        packed, nt, err = tokens_from_emit_packed(emit[0], out_cap + 2)
         err_np = np.asarray(err)
         for k, i in enumerate(group):
             if err_np[k]:
@@ -363,12 +364,11 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
                     f"speculative decode failed in member {i}")
         # final stage on the host: the overlapping-copy expansion is
         # memcpy-speed in the threaded native engine, and the output
-        # must reach the host anyway
-        a_np = np.asarray(a)[:len(group)]
-        b_np = np.asarray(b)[:len(group)]
+        # must reach the host anyway (packed tokens: half the D2H)
+        p_np = np.asarray(packed)[:len(group)]
         nt_np = np.asarray(nt)[:len(group)].astype(np.int64)
         sizes = isizes[group]
-        blob, crcs = native.expand_batch(a_np, b_np, nt_np, sizes)
+        blob, crcs = native.expand_batch(p_np, None, nt_np, sizes)
         if verify:
             for k, i in enumerate(group):
                 if int(crcs[k]) != int(crcs_expected[i]):

@@ -84,7 +84,7 @@ def load():
         lib.lf_expand_batch.restype = ctypes.c_int
         lib.lf_expand_batch.argtypes = [i32p, i32p, ctypes.c_int64, i64p,
                                         ctypes.c_int32, u8p, u64p, u32p,
-                                        ctypes.c_int32]
+                                        ctypes.c_int32, ctypes.c_int32]
         lib.lf_deflate_batch.restype = ctypes.c_int
         lib.lf_deflate_batch.argtypes = [u8p, u64p, ctypes.c_int32, u8p,
                                          ctypes.c_uint64, u64p, u32p,
@@ -257,18 +257,20 @@ def deflate_batch(data: bytes, chunk_offsets: np.ndarray,
     return bodies, crcs
 
 
-def expand_batch(a: np.ndarray, b: np.ndarray, counts: np.ndarray,
+def expand_batch(a: np.ndarray, b: np.ndarray | None, counts: np.ndarray,
                  out_sizes: np.ndarray, n_threads: int = 0):
     """Expand LZ77 token batches (threaded) and CRC each output.
 
-    a/b: (B, T) int32 tokens; counts: (B,); out_sizes: (B,) expected
-    output bytes.  Returns (out bytes, crcs (B,)).
+    a/b: (B, T) int32 tokens, or b=None with ``a`` holding packed
+    tokens (a | b<<9); counts: (B,); out_sizes: (B,) expected output
+    bytes.  Returns (out bytes, crcs (B,)).
     """
     from ..serial.deflate import DeflateError
     lib = load()
     bsz, stride = a.shape
     a = np.ascontiguousarray(a, np.int32)
-    b = np.ascontiguousarray(b, np.int32)
+    packed = 1 if b is None else 0
+    b_arr = a if b is None else np.ascontiguousarray(b, np.int32)
     counts64 = np.ascontiguousarray(counts, np.int64)
     out_offs = np.zeros(bsz + 1, np.uint64)
     np.cumsum(np.asarray(out_sizes, np.uint64), out=out_offs[1:])
@@ -276,12 +278,13 @@ def expand_batch(a: np.ndarray, b: np.ndarray, counts: np.ndarray,
     crcs = np.zeros(bsz, np.uint32)
     rc = lib.lf_expand_batch(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         stride,
         counts64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         bsz, _as_u8p(out),
         out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_threads)
+        crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_threads,
+        packed)
     if rc < 0:
         raise DeflateError(f"token expansion failed in member {-rc - 1}")
     return out[: int(out_offs[-1])].tobytes(), crcs

@@ -908,10 +908,12 @@ int lf_deflate_batch(const uint8_t* data, const uint64_t* chunk_offsets,
 // overlapping-copy expansion is memcpy-speed on the host).
 // a/b: (batch, stride) int32 token arrays (b==0 literal, else distance),
 // counts: tokens per member; out slots at out_offsets; crcs optional.
+// packed: when nonzero, `a` holds packed tokens (a | b<<9) and `b` is
+// ignored — halves the device->host transfer feeding this stage.
 int lf_expand_batch(const int32_t* a, const int32_t* b, int64_t stride,
                     const int64_t* counts, int32_t batch, uint8_t* out,
                     const uint64_t* out_offsets, uint32_t* crcs,
-                    int32_t n_threads) {
+                    int32_t n_threads, int32_t packed) {
     crc_init();
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> bad{-1};
@@ -920,18 +922,19 @@ int lf_expand_batch(const int32_t* a, const int32_t* b, int64_t stride,
             int32_t i = next.fetch_add(1);
             if (i >= batch || bad.load() >= 0) return;
             const int32_t* ai = a + (int64_t)i * stride;
-            const int32_t* bi = b + (int64_t)i * stride;
+            const int32_t* bi = packed ? nullptr : b + (int64_t)i * stride;
             uint8_t* dst = out + out_offsets[i];
             uint64_t cap = out_offsets[i + 1] - out_offsets[i];
             uint64_t o = 0;
             int64_t n = counts[i];
             for (int64_t t = 0; t < n; t++) {
-                int32_t bb = bi[t];
+                int32_t av = packed ? (ai[t] & 0x1FF) : ai[t];
+                int32_t bb = packed ? ((ai[t] >> 9) & 0xFFFF) : bi[t];
                 if (bb == 0) {
                     if (o >= cap) { bad.store(i); return; }
-                    dst[o++] = (uint8_t)ai[t];
+                    dst[o++] = (uint8_t)av;
                 } else {
-                    uint32_t len = (uint32_t)ai[t];
+                    uint32_t len = (uint32_t)av;
                     if ((uint64_t)bb > o || o + len > cap) {
                         bad.store(i); return;
                     }

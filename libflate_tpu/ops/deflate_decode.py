@@ -394,6 +394,37 @@ def chain_entries(g: jnp.ndarray, start: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("max_tokens",))
+def tokens_from_emit_packed(emit: jnp.ndarray, max_tokens: int):
+    """Like tokens_from_emit but keeps tokens PACKED (a | b<<9, 25 bits)
+    — one compaction scatter and half the device→host traffic; the
+    native expander unpacks on the fly."""
+    from .pallas_decode import BAD_FLAG, EMIT_ROWS, EOB_FLAG, LANES, \
+        MAX_EMIT
+    rows = emit.shape[0]
+    n_chunks = rows // EMIT_ROWS
+    blocks = emit.reshape(n_chunks, EMIT_ROWS, LANES)
+    tok_rows = blocks[:, :MAX_EMIT, :].reshape(n_chunks * MAX_EMIT, LANES)
+    overflow = jnp.any(blocks[:, MAX_EMIT, :] == -1, axis=0)
+    valid = tok_rows != -1
+    tok_s = jnp.transpose(tok_rows)
+    valid_s = jnp.transpose(valid)
+
+    def one(tok, marks):
+        is_tok = marks & ((tok & (EOB_FLAG | BAD_FLAG)) == 0)
+        err = jnp.any(marks & ((tok & BAD_FLAG) != 0))
+        reached_eob = jnp.any(marks & ((tok & EOB_FLAG) != 0))
+        rank = jnp.cumsum(is_tok.astype(jnp.int32)) - 1
+        n_tokens = jnp.sum(is_tok.astype(jnp.int32))
+        packed = jnp.zeros((max_tokens,), jnp.int32).at[
+            jnp.clip(rank, 0, max_tokens - 1)].add(
+            jnp.where(is_tok, tok & 0x1FFFFFF, 0))
+        return packed, n_tokens, err | ~reached_eob
+
+    packed, nt, err = jax.vmap(one)(tok_s, valid_s)
+    return packed, nt, err | overflow
+
+
+@functools.partial(jax.jit, static_argnames=("max_tokens",))
 def tokens_from_emit(emit: jnp.ndarray, max_tokens: int):
     """Stitch walk-emit kernel output into dense per-stream tokens.
 
