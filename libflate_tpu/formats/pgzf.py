@@ -364,9 +364,13 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
                     f"speculative decode failed in member {i}")
         # final stage on the host: the overlapping-copy expansion is
         # memcpy-speed in the threaded native engine, and the output
-        # must reach the host anyway (packed tokens: half the D2H)
-        p_np = np.asarray(packed)[:len(group)]
+        # must reach the host anyway.  D2H rides a slow tunnel here, so
+        # transfer packed tokens sliced to the batch's real maximum
+        # (rounded to bound recompiles) instead of the static worst case
         nt_np = np.asarray(nt)[:len(group)].astype(np.int64)
+        mt = int(nt_np.max(initial=1))
+        mt = min(-(-mt // 1024) * 1024, packed.shape[1])
+        p_np = np.asarray(packed[:, :mt])[:len(group)]
         sizes = isizes[group]
         blob, crcs = native.expand_batch(p_np, None, nt_np, sizes)
         if verify:
