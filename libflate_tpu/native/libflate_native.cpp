@@ -21,6 +21,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define LF_HAVE_CLMUL 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -42,8 +47,7 @@ static void crc_init() {
     crc_init_done = true;
 }
 
-uint32_t lf_crc32(const uint8_t* buf, uint64_t n, uint32_t crc) {
-    crc_init();
+static uint32_t crc32_slice8(const uint8_t* buf, uint64_t n, uint32_t crc) {
     uint32_t c = crc ^ 0xFFFFFFFFu;
     while (n >= 8) {
         uint32_t lo, hi;
@@ -57,6 +61,120 @@ uint32_t lf_crc32(const uint8_t* buf, uint64_t n, uint32_t crc) {
     }
     while (n--) c = crc_tab[0][(c ^ *buf++) & 0xFF] ^ (c >> 8);
     return c ^ 0xFFFFFFFFu;
+}
+
+#ifdef LF_HAVE_CLMUL
+// ---------------------------------------------------------------------------
+// PCLMULQDQ CRC-32: fold 512 bits per step, finish through the byte table.
+// Fold constants are derived at startup from x^n mod P (no magic numbers)
+// and the whole path is self-tested against slice-by-8 before first use.
+//
+// Register convention: a 16-byte little-endian load holds the chunk
+// polynomial bit-reflected (bit p = coeff of x^(127-p)), so the LOW qword
+// is the HIGH-degree half.  Folding a chunk A = H*x^64 + L by distance T:
+//   A*x^T ≡ H*(x^(T+64) mod P) + L*(x^T mod P)   (mod P)
+// and with a constant placed at rev32(k)<<32, clmul of the reflected
+// operands yields the reflected product directly (the placement absorbs
+// clmul's inherent one-bit offset — hence the T+63 / T-1 exponents).
+// ---------------------------------------------------------------------------
+static uint32_t xpow_mod(int n) {          // x^n mod P, normal bit order
+    uint32_t r = 1;
+    for (int k = 0; k < n; k++) {
+        uint32_t top = r & 0x80000000u;
+        r <<= 1;
+        if (top) r ^= 0x04C11DB7u;
+    }
+    return r;
+}
+static uint32_t rev32(uint32_t v) {
+    v = ((v >> 1) & 0x55555555u) | ((v & 0x55555555u) << 1);
+    v = ((v >> 2) & 0x33333333u) | ((v & 0x33333333u) << 2);
+    v = ((v >> 4) & 0x0F0F0F0Fu) | ((v & 0x0F0F0F0Fu) << 4);
+    v = ((v >> 8) & 0x00FF00FFu) | ((v & 0x00FF00FFu) << 8);
+    return (v >> 16) | (v << 16);
+}
+static uint64_t fold_k_lo_512, fold_k_hi_512, fold_k_lo_128, fold_k_hi_128;
+static int clmul_ok = -1;   // -1 unknown, 0 unusable, 1 verified
+
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t crc32_clmul(const uint8_t* p, uint64_t n, uint32_t crc) {
+    const __m128i K512 = _mm_set_epi64x((int64_t)fold_k_hi_512,
+                                        (int64_t)fold_k_lo_512);
+    const __m128i K128 = _mm_set_epi64x((int64_t)fold_k_hi_128,
+                                        (int64_t)fold_k_lo_128);
+    uint32_t c0 = crc ^ 0xFFFFFFFFu;
+    __m128i x0 = _mm_loadu_si128((const __m128i*)p);
+    __m128i x1 = _mm_loadu_si128((const __m128i*)(p+16));
+    __m128i x2 = _mm_loadu_si128((const __m128i*)(p+32));
+    __m128i x3 = _mm_loadu_si128((const __m128i*)(p+48));
+    x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)c0));
+    p += 64; n -= 64;
+    while (n >= 64) {
+        x0 = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x0, K512, 0x00),
+                                         _mm_clmulepi64_si128(x0, K512, 0x11)),
+                           _mm_loadu_si128((const __m128i*)p));
+        x1 = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x1, K512, 0x00),
+                                         _mm_clmulepi64_si128(x1, K512, 0x11)),
+                           _mm_loadu_si128((const __m128i*)(p+16)));
+        x2 = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x2, K512, 0x00),
+                                         _mm_clmulepi64_si128(x2, K512, 0x11)),
+                           _mm_loadu_si128((const __m128i*)(p+32)));
+        x3 = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x3, K512, 0x00),
+                                         _mm_clmulepi64_si128(x3, K512, 0x11)),
+                           _mm_loadu_si128((const __m128i*)(p+48)));
+        p += 64; n -= 64;
+    }
+    __m128i x = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x0, K128, 0x00),
+                                            _mm_clmulepi64_si128(x0, K128, 0x11)), x1);
+    x = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x, K128, 0x00),
+                                    _mm_clmulepi64_si128(x, K128, 0x11)), x2);
+    x = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x, K128, 0x00),
+                                    _mm_clmulepi64_si128(x, K128, 0x11)), x3);
+    while (n >= 16) {
+        x = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x, K128, 0x00),
+                                        _mm_clmulepi64_si128(x, K128, 0x11)),
+                          _mm_loadu_si128((const __m128i*)p));
+        p += 16; n -= 16;
+    }
+    // the folded register, stored little-endian, is a 16-byte message
+    // equivalent (mod P) to everything folded so far — finish via table
+    uint8_t rbytes[16];
+    _mm_storeu_si128((__m128i*)rbytes, x);
+    uint32_t c = 0;
+    for (int i = 0; i < 16; i++) c = crc_tab[0][(c ^ rbytes[i]) & 0xFF] ^ (c >> 8);
+    while (n--) c = crc_tab[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+static void clmul_init() {
+    if (clmul_ok >= 0) return;
+    if (!__builtin_cpu_supports("pclmul") || !__builtin_cpu_supports("sse4.1")) {
+        clmul_ok = 0; return;
+    }
+    fold_k_lo_512 = (uint64_t)rev32(xpow_mod(512 + 63)) << 32;
+    fold_k_hi_512 = (uint64_t)rev32(xpow_mod(512 - 1)) << 32;
+    fold_k_lo_128 = (uint64_t)rev32(xpow_mod(128 + 63)) << 32;
+    fold_k_hi_128 = (uint64_t)rev32(xpow_mod(128 - 1)) << 32;
+    // self-test on an awkward length with a nonzero seed
+    uint8_t buf[731];
+    uint32_t s = 0x12345678u;
+    for (size_t i = 0; i < sizeof buf; i++) {
+        s = s * 1103515245u + 12345u; buf[i] = (uint8_t)(s >> 16);
+    }
+    clmul_ok = crc32_clmul(buf, sizeof buf, 0xDEADBEEFu)
+            == crc32_slice8(buf, sizeof buf, 0xDEADBEEFu) ? 1 : 0;
+}
+#endif
+
+uint32_t lf_crc32(const uint8_t* buf, uint64_t n, uint32_t crc) {
+    crc_init();
+#ifdef LF_HAVE_CLMUL
+    if (n >= 256) {
+        clmul_init();
+        if (clmul_ok == 1) return crc32_clmul(buf, n, crc);
+    }
+#endif
+    return crc32_slice8(buf, n, crc);
 }
 
 // ---------------------------------------------------------------------------
@@ -180,6 +298,61 @@ static const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
     7,7,8,8,9,9,10,10,11,11,12,12,13,13};
 static const uint8_t CLC_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
+// ---------------------------------------------------------------------------
+// Pre-decoded 32-bit decode tables (libdeflate-style single-load entries)
+//   literal:      0x80000000 | byte<<16 | code_width
+//   end-of-block: 0x40000000 | code_width
+//   sym 286/287:  0x20000000 | code_width   (valid fixed code, invalid symbol)
+//   length/dist:  base<<16 | extra_count<<8 | code_width
+//   invalid:      0
+// One table load yields everything the hot loop needs; the base value and
+// extra-bit count are baked in so LEN_BASE/LEN_EXTRA/DIST_* lookups and the
+// literal/length classification branch tree disappear from the hot path.
+// ---------------------------------------------------------------------------
+static bool build_table32(const int32_t* lengths, int n, uint32_t* table,
+                          int table_bits, bool is_dist) {
+    int counts[16] = {0};
+    for (int i = 0; i < n; i++) {
+        int l = lengths[i];
+        if (l < 0 || l > table_bits) return false;
+        if (l) counts[l]++;
+    }
+    int firsts[16]; int code = 0;
+    int total = 0;
+    for (int l = 1; l <= table_bits; l++) {
+        code = (code + counts[l-1]) << 1;
+        firsts[l] = code;
+        total += counts[l] << (table_bits - l);
+    }
+    if (total > (1 << table_bits)) return false;   // oversubscribed
+    memset(table, 0, sizeof(uint32_t) << table_bits);
+    int next[16]; memcpy(next, firsts, sizeof(next));
+    for (int s = 0; s < n; s++) {
+        int l = lengths[s];
+        if (!l) continue;
+        int c = next[l]++;
+        int rev = 0, cc = c;
+        for (int k = 0; k < l; k++) { rev = (rev << 1) | (cc & 1); cc >>= 1; }
+        uint32_t v;
+        if (is_dist) {
+            v = (DIST_BASE[s] << 16) | ((uint32_t)DIST_EXTRA[s] << 8) | l;
+        } else if (s < 256) {
+            v = 0x80000000u | ((uint32_t)s << 16) | l;
+        } else if (s == 256) {
+            v = 0x40000000u | l;
+        } else if (s <= 285) {
+            v = ((uint32_t)LEN_BASE[s-257] << 16)
+              | ((uint32_t)LEN_EXTRA[s-257] << 8) | l;
+        } else {
+            v = 0x20000000u | l;
+        }
+        for (int idx = rev; idx < (1 << table_bits); idx += (1 << l))
+            table[idx] = v;
+    }
+    return true;
+}
+
+
 static void fixed_lit_lengths(int32_t* l) {
     for (int i = 0; i < 144; i++) l[i] = 8;
     for (int i = 144; i < 256; i++) l[i] = 9;
@@ -241,8 +414,8 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                uint64_t* out_n, uint64_t* end_bit) {
     BitIn b; bi_init(&b, src, n, 0);
     uint64_t o = 0;
-    static thread_local uint16_t lit_table[1 << 15];
-    static thread_local uint16_t dist_table[1 << 15];
+    static thread_local uint32_t lit_table[1 << 15];
+    static thread_local uint32_t dist_table[1 << 15];
     for (;;) {
         int final_ = bi_read(&b, 1);
         int btype = bi_read(&b, 2);
@@ -275,8 +448,8 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                 fixed_lit_lengths(ll);
                 for (int i = 0; i < 30; i++) dl[i] = 5;
                 lit_bits = 9; dist_bits = 5;
-                ok = build_table(ll, 288, lit_table, lit_bits)
-                  && build_table(dl, 30, dist_table, dist_bits);
+                ok = build_table32(ll, 288, lit_table, lit_bits, false)
+                  && build_table32(dl, 30, dist_table, dist_bits, true);
             } else {
                 int32_t ll[286], dl[30];
                 int rc = parse_dyn_header(&b, ll, dl);
@@ -291,58 +464,53 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                 // size tables to the actual max code length: building a
                 // 2^15 table per 64 KiB member would dominate decode time
                 lit_bits = lmax; dist_bits = dmax;
-                ok = build_table(ll, 286, lit_table, lit_bits);
+                ok = build_table32(ll, 286, lit_table, lit_bits, false);
                 if (ok) {
-                    if (any_dist) ok = build_table(dl, 30, dist_table, dist_bits);
-                    else memset(dist_table, 0, sizeof(uint16_t) << dist_bits);
+                    if (any_dist) ok = build_table32(dl, 30, dist_table, dist_bits, true);
+                    else memset(dist_table, 0, sizeof(uint32_t) << dist_bits);
                 }
             }
             if (!ok) return -3;
             const uint32_t lit_mask = (1u << lit_bits) - 1;
             const uint32_t dist_mask = (1u << dist_bits) - 1;
-            // fastloop: enough output margin (longest match) and input
-            // look-ahead that all bounds checks can be hoisted; decodes
-            // up to 3 literals per refill (<= 45 bits) or one full
-            // length+distance symbol (<= 48 bits after a re-fill)
+            // fastloop: enough output margin (longest match + word-copy
+            // overshoot) and input look-ahead that all bounds checks are
+            // hoisted.  One refill covers up to two literals plus a full
+            // length code incl. extras (15+15+20 = 50 <= 56); a second
+            // refill before the distance covers its worst case (28 bits).
             while (o + 274 <= cap && b.pos + 16 <= b.size) {
                 bi_fill(&b);
-                uint16_t e = lit_table[(uint32_t)(b.acc & lit_mask)];
-                b.acc >>= (e & 15); b.nbits -= (e & 15);
-                int sym = e >> 4;
-                if (sym < 256 && e) {
-                    dst[o++] = (uint8_t)sym;
-                    e = lit_table[(uint32_t)(b.acc & lit_mask)];
-                    b.acc >>= (e & 15); b.nbits -= (e & 15);
-                    sym = e >> 4;
-                    if (sym < 256 && e) {
-                        dst[o++] = (uint8_t)sym;
-                        e = lit_table[(uint32_t)(b.acc & lit_mask)];
-                        b.acc >>= (e & 15); b.nbits -= (e & 15);
-                        sym = e >> 4;
-                        if (sym < 256 && e) { dst[o++] = (uint8_t)sym; continue; }
+                uint32_t e = lit_table[(uint32_t)b.acc & lit_mask];
+                b.acc >>= (e & 31); b.nbits -= (e & 31);
+                if ((int32_t)e < 0) {
+                    dst[o++] = (uint8_t)(e >> 16);
+                    e = lit_table[(uint32_t)b.acc & lit_mask];
+                    b.acc >>= (e & 31); b.nbits -= (e & 31);
+                    if ((int32_t)e < 0) {
+                        dst[o++] = (uint8_t)(e >> 16);
+                        e = lit_table[(uint32_t)b.acc & lit_mask];
+                        b.acc >>= (e & 31); b.nbits -= (e & 31);
+                        if ((int32_t)e < 0) { dst[o++] = (uint8_t)(e >> 16); continue; }
                     }
                 }
+                if (e & 0x60000000u) {
+                    if (e & 0x40000000u) goto block_end;
+                    return -10;
+                }
                 if (!e) return -3;
-                if (sym == 256) goto block_end;
-                if (sym > 285) return -10;
                 {
-                    bi_fill(&b);           // extras + distance <= 33 bits
-                    int li = sym - 257;
-                    int le = LEN_EXTRA[li];
-                    uint32_t length = LEN_BASE[li] +
-                        (uint32_t)(b.acc & ((1u << le) - 1));
+                    uint32_t le = (e >> 8) & 15;
+                    uint32_t length = (e >> 16) +
+                        ((uint32_t)b.acc & ((1u << le) - 1));
                     b.acc >>= le; b.nbits -= le;
-                    uint16_t de = dist_table[(uint32_t)(b.acc & dist_mask)];
+                    bi_fill(&b);           // distance code + extras <= 28 bits
+                    uint32_t de = dist_table[(uint32_t)b.acc & dist_mask];
                     if (!de) return -3;
-                    int dw = de & 15;
-                    b.acc >>= dw; b.nbits -= dw;
-                    int ds = de >> 4;
-                    if (ds > 29) return -11;
-                    int dxe = DIST_EXTRA[ds];
-                    uint32_t dist = DIST_BASE[ds] +
-                        (uint32_t)(b.acc & ((1u << dxe) - 1));
+                    b.acc >>= (de & 31); b.nbits -= (de & 31);
+                    uint32_t dxe = (de >> 8) & 15;
+                    uint32_t dist = (de >> 16) +
+                        ((uint32_t)b.acc & ((1u << dxe) - 1));
                     b.acc >>= dxe; b.nbits -= dxe;
-                    if (b.nbits < 0) return -1;
                     if (dist > o) return -12;
                     const uint8_t* s = dst + o - dist;
                     uint8_t* d = dst + o;
@@ -355,41 +523,48 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                             int64_t rem = (int64_t)length - 8;
                             while (rem > 0) { memcpy(d, s, 8); d += 8; s += 8; rem -= 8; }
                         }
+                    } else if (dist == 1) {
+                        memset(d, *s, length);
                     } else {
-                        while (length--) *d++ = *s++;
+                        // dist 2..7: seed one >=8-byte period-aligned window
+                        // byte-wise, then the pattern repeats every `off`
+                        // bytes and word copies from d-off are exact
+                        int off = dist; while (off < 8) off += dist;
+                        uint8_t* dd = d;
+                        for (int k = 0; k < off; k++) { *dd = dd[-(int)dist]; dd++; }
+                        const uint8_t* ss = dd - off;
+                        int64_t rem = (int64_t)length - off;
+                        while (rem > 0) { memcpy(dd, ss, 8); dd += 8; ss += 8; rem -= 8; }
                     }
                 }
             }
             for (;;) {
                 // one refill covers the worst-case symbol: 15+5+15+13 <= 56
                 bi_fill(&b);
-                uint16_t e = lit_table[(uint32_t)(b.acc & lit_mask)];
+                uint32_t e = lit_table[(uint32_t)b.acc & lit_mask];
                 if (!e) return -3;
-                int w = e & 15;
+                int w = e & 31;
                 if (b.nbits < w) return -1;
                 b.acc >>= w; b.nbits -= w;
-                int sym = e >> 4;
-                if (sym < 256) {
+                if ((int32_t)e < 0) {
                     if (o >= cap) return -8;
-                    dst[o++] = (uint8_t)sym;
-                } else if (sym == 256) {
+                    dst[o++] = (uint8_t)(e >> 16);
+                } else if (e & 0x40000000u) {
                     break;
+                } else if (e & 0x20000000u) {
+                    return -10;
                 } else {
-                    if (sym > 285) return -10;
-                    int li = sym - 257;
-                    int le = LEN_EXTRA[li];
-                    uint32_t length = LEN_BASE[li] +
-                        (uint32_t)(b.acc & ((1u << le) - 1));
+                    uint32_t le = (e >> 8) & 15;
+                    uint32_t length = (e >> 16) +
+                        ((uint32_t)b.acc & ((1u << le) - 1));
                     b.acc >>= le; b.nbits -= le;
-                    uint16_t de = dist_table[(uint32_t)(b.acc & dist_mask)];
+                    uint32_t de = dist_table[(uint32_t)b.acc & dist_mask];
                     if (!de) return -3;
-                    int dw = de & 15;
+                    int dw = de & 31;
                     b.acc >>= dw; b.nbits -= dw;
-                    int ds = de >> 4;
-                    if (ds > 29) return -11;
-                    int dxe = DIST_EXTRA[ds];
-                    uint32_t dist = DIST_BASE[ds] +
-                        (uint32_t)(b.acc & ((1u << dxe) - 1));
+                    uint32_t dxe = (de >> 8) & 15;
+                    uint32_t dist = (de >> 16) +
+                        ((uint32_t)b.acc & ((1u << dxe) - 1));
                     b.acc >>= dxe; b.nbits -= dxe;
                     if (b.nbits < 0) return -1;
                     if (dist > o) return -12;   // distance too far back
