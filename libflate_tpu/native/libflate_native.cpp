@@ -646,14 +646,31 @@ static inline void bo_init(BitOut* b, uint8_t* d, uint64_t cap) {
 static inline void bo_write(BitOut* b, uint32_t v, int n) {
     b->acc |= (uint64_t)(v & ((1u << n) - 1)) << b->nbits;
     b->nbits += n;
-    while (b->nbits >= 8) {
+    if (b->nbits >= 32) {
+        // flush 4 bytes with one 8-byte store (callers write <= 15 bits,
+        // so nbits stays < 47 and the upper acc bytes are just-in-flight
+        // bits that the next flush or bo_align will commit)
+        if (b->pos + 8 <= b->cap) {
+            memcpy(b->data + b->pos, &b->acc, 8);
+            b->pos += 4; b->acc >>= 32; b->nbits -= 32;
+        } else {
+            while (b->nbits >= 8) {
+                if (b->pos >= b->cap) { b->overflow = true; b->nbits = 0; return; }
+                b->data[b->pos++] = (uint8_t)(b->acc & 0xFF);
+                b->acc >>= 8; b->nbits -= 8;
+            }
+        }
+    }
+}
+
+static inline void bo_align(BitOut* b) {
+    if (b->nbits & 7) { b->nbits += 8 - (b->nbits & 7); }   // zero pad bits
+    while (b->nbits >= 8) {                 // drain every whole byte
         if (b->pos >= b->cap) { b->overflow = true; b->nbits = 0; return; }
         b->data[b->pos++] = (uint8_t)(b->acc & 0xFF);
         b->acc >>= 8; b->nbits -= 8;
     }
 }
-
-static inline void bo_align(BitOut* b) { if (b->nbits) bo_write(b, 0, 8 - b->nbits); }
 
 // ---------------------------------------------------------------------------
 // Huffman construction (package-merge) for the native encoder
@@ -743,6 +760,12 @@ static int32_t dist_code_of(uint32_t d) {
     while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (DIST_BASE[mid] <= d) lo = mid; else hi = mid - 1; }
     return lo;
 }
+// two-range distance-code table (zlib d_code scheme): distances 1..256
+// index directly, larger ones via (d-1)>>7
+static uint8_t dist_code_lut[512];
+static inline int dist_code_fast(uint32_t d) {
+    return d <= 256 ? dist_code_lut[d - 1] : dist_code_lut[256 + ((d - 1) >> 7)];
+}
 static bool enc_luts_done = false;
 static void enc_luts_init() {
     if (enc_luts_done) return;
@@ -754,6 +777,9 @@ static void enc_luts_init() {
         }
     }
     len_code_lut[258] = 285; len_nextra_lut[258] = 0; len_extra_lut[258] = 0;
+    for (uint32_t d = 1; d <= 256; d++) dist_code_lut[d - 1] = (uint8_t)dist_code_of(d);
+    for (uint32_t idx = 2; idx < 256; idx++)
+        dist_code_lut[256 + idx] = (uint8_t)dist_code_of((idx << 7) + 1);
     enc_luts_done = true;
 }
 
@@ -813,7 +839,7 @@ static void emit_block(BitOut* bo, const Tok* toks, int64_t ntok, int bfinal) {
     for (int64_t i = 0; i < ntok; i++) {
         uint32_t d = toks[i].b_lo | ((uint32_t)toks[i].b_hi << 16);
         if (d == 0) lit_freq[toks[i].a]++;
-        else { lit_freq[len_code_lut[toks[i].a]]++; dist_freq[dist_code_of(d)]++; }
+        else { lit_freq[len_code_lut[toks[i].a]]++; dist_freq[dist_code_fast(d)]++; }
     }
     lit_freq[256]++;
     bool any_dist = false;
@@ -839,7 +865,7 @@ static void emit_block(BitOut* bo, const Tok* toks, int64_t ntok, int bfinal) {
             int lc = len_code_lut[toks[i].a];
             bo_write(bo, lit_c[lc], lit_l[lc]);
             if (len_nextra_lut[toks[i].a]) bo_write(bo, len_extra_lut[toks[i].a], len_nextra_lut[toks[i].a]);
-            int dc = dist_code_of(d);
+            int dc = dist_code_fast(d);
             bo_write(bo, dist_c[dc], dist_l[dc]);
             if (DIST_EXTRA[dc]) bo_write(bo, d - DIST_BASE[dc], DIST_EXTRA[dc]);
         }
@@ -884,7 +910,13 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
         }
         int64_t ntok = 0;
         uint64_t i = pos;
-        auto probe_insert = [&](uint64_t at, uint32_t* dist) -> uint32_t {
+        // zlib-style search cutoffs: stop the chain once a match reaches
+        // `nice`, quarter the remaining chain budget once one reaches
+        // `good` (cf. zlib deflate.c configuration_table, level 6)
+        const uint32_t nice_len = max_chain >= 64 ? 128 : 32;
+        const uint32_t good_len = 8;
+        auto probe_insert = [&](uint64_t at, uint32_t* dist,
+                                bool search) -> uint32_t {
             if (at + 3 > bend) return 0;
             uint32_t key = ((uint32_t)src[at] << 16) | ((uint32_t)src[at+1] << 8) | src[at+2];
             uint32_t h = (key * 2654435761u) >> (32 - HB);
@@ -893,21 +925,37 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                            ? (int64_t)(uint32_t)slot : -1;
             head2[h] = ((uint64_t)cur_epoch << 32) | (uint32_t)at;
             chain_ring[at & 32767] = cand >= 0 ? (uint32_t)cand : 0xFFFFFFFFu;
+            if (!search) return 0;
             uint64_t maxl = bend - at < 258 ? bend - at : 258;
             uint32_t best_len = 0, best_dist = 0;
             int chain_left = max_chain > 0 ? max_chain : 1;
+            bool reduced = false;
             while (cand >= (int64_t)bstart && at - cand <= 32768 && chain_left--) {
                 // cheap reject: candidate must beat best_len
                 if (best_len == 0 ||
                     src[cand + best_len] == src[at + best_len]) {
                     if (src[cand] == src[at] && src[cand+1] == src[at+1]
                         && src[cand+2] == src[at+2]) {
+                        // word-wise extension: L+8 <= maxl keeps every
+                        // 8-byte load inside [0, bend) on both sides
                         uint64_t L = 3;
+                        while (L + 8 <= maxl) {
+                            uint64_t a8, c8;
+                            memcpy(&c8, src + cand + L, 8);
+                            memcpy(&a8, src + at + L, 8);
+                            uint64_t x = a8 ^ c8;
+                            if (x) { L += (uint64_t)__builtin_ctzll(x) >> 3; goto extended; }
+                            L += 8;
+                        }
                         while (L < maxl && src[cand + L] == src[at + L]) L++;
+                    extended:
                         if (L > best_len) {
                             best_len = (uint32_t)L;
                             best_dist = (uint32_t)(at - cand);
-                            if (L >= maxl) break;
+                            if (L >= maxl || L >= nice_len) break;
+                            if (L >= good_len && !reduced) {
+                                chain_left >>= 2; reduced = true;
+                            }
                         }
                     }
                 }
@@ -934,7 +982,7 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
         if (!lazy) {
             while (i < bend) {
                 uint32_t d = 0;
-                uint32_t L = probe_insert(i, &d);
+                uint32_t L = probe_insert(i, &d, true);
                 if (L >= 3) {
                     toks[ntok].a = (uint16_t)L; toks[ntok].b_lo = d & 0xFFFF; toks[ntok].b_hi = d >> 16;
                     ntok++;
@@ -949,9 +997,13 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
             // one-step lazy evaluation
             uint32_t pend_len = 0, pend_dist = 0;
             bool have_pending = false;       // position i-1 not yet emitted
+            // zlib max_lazy: a pending match this long is accepted without
+            // searching the current position (insert-only probe)
+            const uint32_t max_lazy_len = 16;
             while (i < bend) {
                 uint32_t d = 0;
-                uint32_t L = probe_insert(i, &d);
+                uint32_t L = probe_insert(i, &d,
+                    !(have_pending && pend_len >= max_lazy_len));
                 if (have_pending && pend_len >= 3 && pend_len >= L) {
                     // previous position's match wins
                     toks[ntok].a = (uint16_t)pend_len;
