@@ -225,6 +225,27 @@ def decompress(data: bytes, engine: str | None = None,
     native or device batch) when the LF index is present, else falls
     back to sequential MultiDecoder."""
     data = bytes(data)
+    if engine in ("native", None, "auto"):
+        # fully-native fast path: the C walk indexes the LF subfields and
+        # the scatter-offset batch decode reads bodies in place (no
+        # Python header loop, no payload join)
+        try:
+            from .. import native
+            if native.available():
+                idx = native.pgzf_index(data)
+                if idx is not None:
+                    starts, ends, crcs_expected, isizes = idx
+                    out, crcs = native.inflate_batch_at(
+                        data, starts, ends, isizes, n_threads=n_threads)
+                    if verify and (crcs != crcs_expected).any():
+                        bad = int(np.argmax(crcs != crcs_expected))
+                        raise fgzip.GzipError(
+                            f"gzip CRC mismatch in member {bad}: stream "
+                            f"says {int(crcs_expected[bad]):#010x}, "
+                            f"computed {int(crcs[bad]):#010x}")
+                    return out
+        except ImportError:
+            pass
     refs = index_members(data)
     if refs is None:
         return fgzip.decompress(data, engine=engine, multi=True)

@@ -81,6 +81,12 @@ def load():
         lib.lf_inflate_batch.restype = ctypes.c_int
         lib.lf_inflate_batch.argtypes = [u8p, u64p, ctypes.c_int32, u8p,
                                          u64p, u32p, ctypes.c_int32]
+        lib.lf_pgzf_index.restype = ctypes.c_int64
+        lib.lf_pgzf_index.argtypes = [u8p, ctypes.c_uint64, u64p, u64p,
+                                      u32p, u64p, ctypes.c_int64]
+        lib.lf_inflate_batch_at.restype = ctypes.c_int
+        lib.lf_inflate_batch_at.argtypes = [u8p, u64p, u64p, ctypes.c_int32,
+                                            u8p, u64p, u32p, ctypes.c_int32]
         lib.lf_expand_batch.restype = ctypes.c_int
         lib.lf_expand_batch.argtypes = [i32p, i32p, ctypes.c_int64, i64p,
                                         ctypes.c_int32, u8p, u64p, u32p,
@@ -222,6 +228,59 @@ def inflate_batch(bodies: bytes, offsets: np.ndarray,
     crcs = np.zeros(b, np.uint32)
     rc = lib.lf_inflate_batch(
         _as_u8p(buf), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b, _as_u8p(out),
+        out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_threads)
+    if rc < 0:
+        raise DeflateError(f"decode failed in member {-rc - 1}")
+    return out[: int(out_offs[-1])].tobytes(), crcs
+
+
+def pgzf_index(data: bytes):
+    """Walk a PGZF stream's LF member index in C.
+
+    Returns ``(body_starts, body_ends, crcs, isizes)`` uint64/uint32
+    arrays, or ``None`` when any member is malformed or lacks the index
+    (caller falls back to the generic Python header walk).
+    """
+    lib = load()
+    buf = np.frombuffer(bytes(data), np.uint8)
+    # minimal indexed member: 10B header + 8B EXTRA + >=2B body + 8B trailer
+    max_members = len(buf) // 28 + 1
+    starts = np.zeros(max_members, np.uint64)
+    ends = np.zeros(max_members, np.uint64)
+    crcs = np.zeros(max_members, np.uint32)
+    isizes = np.zeros(max_members, np.uint64)
+    cnt = lib.lf_pgzf_index(
+        _as_u8p(buf), len(buf),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        isizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), max_members)
+    if cnt < 0:
+        return None
+    return starts[:cnt], ends[:cnt], crcs[:cnt], isizes[:cnt]
+
+
+def inflate_batch_at(data: bytes, body_starts: np.ndarray,
+                     body_ends: np.ndarray, out_sizes: np.ndarray,
+                     n_threads: int = 0):
+    """Decode members sitting at [starts, ends) inside ``data`` without
+    copying the payloads out first.  Returns (out bytes, crcs)."""
+    from ..serial.deflate import DeflateError
+    lib = load()
+    b = len(body_starts)
+    buf = np.frombuffer(bytes(data), np.uint8)
+    starts = np.ascontiguousarray(body_starts, np.uint64)
+    ends = np.ascontiguousarray(body_ends, np.uint64)
+    out_offs = np.zeros(b + 1, np.uint64)
+    np.cumsum(np.asarray(out_sizes, np.uint64), out=out_offs[1:])
+    out = np.empty(int(out_offs[-1]) + 1, np.uint8)
+    crcs = np.zeros(b, np.uint32)
+    rc = lib.lf_inflate_batch_at(
+        _as_u8p(buf),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         b, _as_u8p(out),
         out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         crcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_threads)

@@ -1095,6 +1095,94 @@ int lf_inflate_batch(const uint8_t* bodies, const uint64_t* offsets,
     return bad.load() >= 0 ? -(bad.load() + 1) : 0;
 }
 
+// walk a PGZF stream's LF index entirely in C (the Python walk costs
+// ~2 ms per 256 members): emits body [start,end) plus the trailer CRC
+// and ISIZE per member.  Returns the member count, or <0 if any member
+// is malformed or lacks the index subfield (caller falls back to the
+// generic Python header parser).  Layout per RFC 1952 §2.3 and the
+// PGZF EXTRA subfield "LF" (u32 total member length), cf. docs/PGZF.md.
+int64_t lf_pgzf_index(const uint8_t* d, uint64_t n, uint64_t* body_start,
+                      uint64_t* body_end, uint32_t* crcs, uint64_t* isizes,
+                      int64_t max_members) {
+    uint64_t pos = 0;
+    int64_t count = 0;
+    while (pos < n) {
+        if (count >= max_members) return -2;
+        if (pos + 18 > n) return -1;           // header + trailer minimum
+        if (d[pos] != 0x1F || d[pos+1] != 0x8B || d[pos+2] != 8) return -1;
+        uint8_t flg = d[pos+3];
+        uint64_t p = pos + 10;
+        uint64_t member_size = 0;
+        if (flg & 4) {                          // FEXTRA
+            if (p + 2 > n) return -1;
+            uint64_t xlen = d[p] | ((uint64_t)d[p+1] << 8);
+            p += 2;
+            uint64_t xend = p + xlen;
+            if (xend > n) return -1;
+            while (p + 4 <= xend) {
+                uint8_t id0 = d[p], id1 = d[p+1];
+                uint64_t sl = d[p+2] | ((uint64_t)d[p+3] << 8);
+                p += 4;
+                if (p + sl > xend) return -1;
+                if (id0 == 'L' && id1 == 'F' && sl == 4) {
+                    member_size = (uint64_t)d[p] | ((uint64_t)d[p+1] << 8)
+                                | ((uint64_t)d[p+2] << 16)
+                                | ((uint64_t)d[p+3] << 24);
+                }
+                p += sl;
+            }
+            p = xend;
+        }
+        if (flg & 8) { while (p < n && d[p]) p++; if (p >= n) return -1; p++; }
+        if (flg & 16) { while (p < n && d[p]) p++; if (p >= n) return -1; p++; }
+        if (flg & 2) p += 2;                    // FHCRC
+        if (member_size == 0) return -1;        // no LF index subfield
+        if (pos + member_size > n || pos + member_size < p + 8) return -1;
+        body_start[count] = p;
+        body_end[count] = pos + member_size - 8;
+        const uint8_t* t = d + pos + member_size - 8;
+        crcs[count] = (uint32_t)t[0] | ((uint32_t)t[1] << 8)
+                    | ((uint32_t)t[2] << 16) | ((uint32_t)t[3] << 24);
+        isizes[count] = (uint64_t)t[4] | ((uint64_t)t[5] << 8)
+                      | ((uint64_t)t[6] << 16) | ((uint64_t)t[7] << 24);
+        count++;
+        pos += member_size;
+    }
+    return count;
+}
+
+// member-parallel inflate with scattered bodies: member i occupies
+// base[starts[i] .. ends[i]) — no host-side join/copy of the payloads
+int lf_inflate_batch_at(const uint8_t* base, const uint64_t* starts,
+                        const uint64_t* ends, int32_t batch, uint8_t* out,
+                        const uint64_t* out_offsets, uint32_t* crcs,
+                        int32_t n_threads) {
+    crc_init();
+    std::atomic<int32_t> next{0};
+    std::atomic<int32_t> bad{-1};
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= batch || bad.load() >= 0) return;
+            uint64_t body_len = ends[i] - starts[i];
+            uint64_t cap = out_offsets[i + 1] - out_offsets[i];
+            uint64_t on = 0, eb = 0;
+            int rc = lf_inflate(base + starts[i], body_len,
+                                out + out_offsets[i], cap, &on, &eb);
+            if (rc != 0 || on != cap) { bad.store(i); return; }
+            if (crcs) crcs[i] = lf_crc32(out + out_offsets[i], on, 0);
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    return bad.load() >= 0 ? -(bad.load() + 1) : 0;
+}
+
 // encode `batch` chunks of `data` as independent DEFLATE streams.
 // Each member i gets the slot dst[i*stride .. (i+1)*stride); emits its
 // compressed size in out_sizes[i] and the chunk CRC in crcs[i].
