@@ -180,7 +180,7 @@ uint32_t lf_crc32(const uint8_t* buf, uint64_t n, uint32_t crc) {
 // ---------------------------------------------------------------------------
 // Adler-32
 // ---------------------------------------------------------------------------
-uint32_t lf_adler32(const uint8_t* buf, uint64_t n, uint32_t adler) {
+static uint32_t adler32_scalar(const uint8_t* buf, uint64_t n, uint32_t adler) {
     const uint32_t MOD = 65521;
     uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
     while (n) {
@@ -190,6 +190,74 @@ uint32_t lf_adler32(const uint8_t* buf, uint64_t n, uint32_t adler) {
         a %= MOD; b %= MOD;
     }
     return (b << 16) | a;
+}
+
+#ifdef LF_HAVE_CLMUL
+// AVX2 Adler-32: per 32-byte chunk, sad_epu8 gives the byte sum and
+// maddubs with weights 32..1 the position-weighted sum; the running
+// chunk-sum accumulator (scaled by 32 at block end) supplies the
+// cross-chunk weights.  Block length 5536 (mult. of 32, < NMAX) keeps
+// every 32-bit lane below overflow.  Self-tested at startup.
+static int adler_avx2_ok = -1;
+
+__attribute__((target("avx2")))
+static uint32_t adler32_avx2(const uint8_t* p, uint64_t n, uint32_t adler) {
+    const uint32_t MOD = 65521;
+    uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
+    const __m256i W = _mm256_setr_epi8(
+        32,31,30,29,28,27,26,25,24,23,22,21,20,19,18,17,
+        16,15,14,13,12,11,10,9,8,7,6,5,4,3,2,1);
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    const __m256i zero = _mm256_setzero_si256();
+    while (n >= 32) {
+        uint64_t blk = n & ~(uint64_t)31;
+        if (blk > 5536) blk = 5536;
+        uint64_t k = blk / 32;
+        __m256i v_s1 = zero, v_s2 = zero, v_s1_sums = zero;
+        for (uint64_t j = 0; j < k; j++) {
+            __m256i c = _mm256_loadu_si256((const __m256i*)(p + 32*j));
+            v_s1_sums = _mm256_add_epi32(v_s1_sums, v_s1);
+            v_s1 = _mm256_add_epi32(v_s1, _mm256_sad_epu8(c, zero));
+            v_s2 = _mm256_add_epi32(v_s2,
+                _mm256_madd_epi16(_mm256_maddubs_epi16(c, W), ones16));
+        }
+        // horizontal sums: v_s1/v_s1_sums live in the 4 u64 sad lanes
+        uint64_t s1l[4]; uint32_t s2l[8], ssl[8];
+        _mm256_storeu_si256((__m256i*)s1l, v_s1);
+        _mm256_storeu_si256((__m256i*)s2l, v_s2);
+        _mm256_storeu_si256((__m256i*)ssl, v_s1_sums);
+        uint32_t chunk_sum = (uint32_t)(s1l[0] + s1l[1] + s1l[2] + s1l[3]);
+        uint32_t weighted = s2l[0]+s2l[1]+s2l[2]+s2l[3]+s2l[4]+s2l[5]+s2l[6]+s2l[7];
+        uint32_t sums = ssl[0]+ssl[2]+ssl[4]+ssl[6];   // sad lanes: every other u32
+        b = (uint32_t)((b + (uint64_t)blk * a + 32ull * sums + weighted) % MOD);
+        a = (a + chunk_sum) % MOD;
+        p += blk; n -= blk;
+    }
+    if (n) return adler32_scalar(p, n, (b << 16) | a);
+    return (b << 16) | a;
+}
+
+static void adler_avx2_init() {
+    if (adler_avx2_ok >= 0) return;
+    if (!__builtin_cpu_supports("avx2")) { adler_avx2_ok = 0; return; }
+    uint8_t buf[1217];
+    uint32_t s = 0x87654321u;
+    for (size_t i = 0; i < sizeof buf; i++) {
+        s = s * 1103515245u + 12345u; buf[i] = (uint8_t)(s >> 16);
+    }
+    adler_avx2_ok = adler32_avx2(buf, sizeof buf, 0x0BADF00Du)
+                 == adler32_scalar(buf, sizeof buf, 0x0BADF00Du) ? 1 : 0;
+}
+#endif
+
+uint32_t lf_adler32(const uint8_t* buf, uint64_t n, uint32_t adler) {
+#ifdef LF_HAVE_CLMUL
+    if (n >= 64) {
+        adler_avx2_init();
+        if (adler_avx2_ok == 1) return adler32_avx2(buf, n, adler);
+    }
+#endif
+    return adler32_scalar(buf, n, adler);
 }
 
 // ---------------------------------------------------------------------------
