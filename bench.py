@@ -96,10 +96,13 @@ def main() -> None:
         stream = pgzf.compress(data, member_size=member_size,
                                engine="native")
         extra["ratio"] = round(len(stream) / nbytes, 4)
+        # decode is ~15 ms/run; machine-load noise on the shared host is
+        # +/-40%, so take the best of many cheap repeats for a stable
+        # headline (encode is ~10x longer per rep — fewer repeats)
         _, enc_t = time_best(lambda: pgzf.compress(
-            data, member_size=member_size, engine="native"))
+            data, member_size=member_size, engine="native"), repeats=3)
         out, dec_t = time_best(lambda: pgzf.decompress(
-            stream, engine="native"))
+            stream, engine="native"), repeats=15)
         assert out == data, "native round-trip mismatch"
         results["native"] = (gb / enc_t, gb / dec_t)
         _log(f"native enc {gb / enc_t:.3f} dec {gb / dec_t:.3f} GB/s")
