@@ -986,8 +986,10 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
         auto probe_insert = [&](uint64_t at, uint32_t* dist,
                                 bool search) -> uint32_t {
             if (at + 3 > bend) return 0;
-            uint32_t key = ((uint32_t)src[at] << 16) | ((uint32_t)src[at+1] << 8) | src[at+2];
-            uint32_t h = (key * 2654435761u) >> (32 - HB);
+            // single 4-byte load (callers guarantee a sentinel byte at
+            // src[n]); the mask keeps exactly the 3-byte prefix
+            uint32_t w4; memcpy(&w4, src + at, 4);
+            uint32_t h = ((w4 & 0xFFFFFFu) * 2654435761u) >> (32 - HB);
             uint64_t slot = head2[h];
             int64_t cand = (uint32_t)(slot >> 32) == cur_epoch
                            ? (int64_t)(uint32_t)slot : -1;
@@ -1038,8 +1040,8 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
         auto reindex = [&](uint64_t from, uint64_t to) {
             uint64_t stop = to < bend - 2 ? to : (bend >= 2 ? bend - 2 : 0);
             for (uint64_t j = from; j < stop; j++) {
-                uint32_t k2 = ((uint32_t)src[j] << 16) | ((uint32_t)src[j+1] << 8) | src[j+2];
-                uint32_t h2 = (k2 * 2654435761u) >> (32 - HB);
+                uint32_t w4; memcpy(&w4, src + j, 4);
+                uint32_t h2 = ((w4 & 0xFFFFFFu) * 2654435761u) >> (32 - HB);
                 uint64_t slot2 = head2[h2];
                 chain_ring[j & 32767] =
                     (uint32_t)(slot2 >> 32) == cur_epoch
