@@ -474,6 +474,277 @@ static int parse_dyn_header(BitIn* b, int32_t* lit_l, int32_t* dist_l) {
     return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// decode one Huffman-coded block (fastloop + careful loop).  Resumable:
+// continues from the BitIn/output state it is given, so the interleaved
+// pair decoder can hand a stream over mid-block.  Returns 0 on block
+// end (EOB consumed), <0 on the usual error codes.
+// ---------------------------------------------------------------------------
+static int decode_huff_block(BitIn* bp, const uint32_t* lit_table_, int lit_bits,
+                             const uint32_t* dist_table_, int dist_bits,
+                             uint8_t* dst, uint64_t* o_io, uint64_t cap) {
+    BitIn b = *bp;
+    uint64_t o = *o_io;
+    const uint32_t lit_mask = (1u << lit_bits) - 1;
+    const uint32_t dist_mask = (1u << dist_bits) - 1;
+    // fastloop: enough output margin (longest match + word-copy
+    // overshoot) and input look-ahead that all bounds checks are
+    // hoisted.  One refill covers up to two literals plus a full
+    // length code incl. extras (15+15+20 = 50 <= 56); a second
+    // refill before the distance covers its worst case (28 bits).
+    while (o + 274 <= cap && b.pos + 16 <= b.size) {
+        bi_fill(&b);
+        uint32_t e = lit_table_[(uint32_t)b.acc & lit_mask];
+        b.acc >>= (e & 31); b.nbits -= (e & 31);
+        if ((int32_t)e < 0) {
+            dst[o++] = (uint8_t)(e >> 16);
+            e = lit_table_[(uint32_t)b.acc & lit_mask];
+            b.acc >>= (e & 31); b.nbits -= (e & 31);
+            if ((int32_t)e < 0) {
+                dst[o++] = (uint8_t)(e >> 16);
+                e = lit_table_[(uint32_t)b.acc & lit_mask];
+                b.acc >>= (e & 31); b.nbits -= (e & 31);
+                if ((int32_t)e < 0) { dst[o++] = (uint8_t)(e >> 16); continue; }
+            }
+        }
+        if (e & 0x60000000u) {
+            if (e & 0x40000000u) goto block_end;
+            return -10;
+        }
+        if (!e) return -3;
+        {
+            uint32_t le = (e >> 8) & 15;
+            uint32_t length = (e >> 16) +
+                ((uint32_t)b.acc & ((1u << le) - 1));
+            b.acc >>= le; b.nbits -= le;
+            bi_fill(&b);           // distance code + extras <= 28 bits
+            uint32_t de = dist_table_[(uint32_t)b.acc & dist_mask];
+            if (!de) return -3;
+            b.acc >>= (de & 31); b.nbits -= (de & 31);
+            uint32_t dxe = (de >> 8) & 15;
+            uint32_t dist = (de >> 16) +
+                ((uint32_t)b.acc & ((1u << dxe) - 1));
+            b.acc >>= dxe; b.nbits -= dxe;
+            if (dist > o) return -12;
+            const uint8_t* s = dst + o - dist;
+            uint8_t* d = dst + o;
+            o += length;
+            if (dist >= 8) {
+                // margin guaranteed: copy in unconditional 8B chunks
+                memcpy(d, s, 8);
+                if (length > 8) {
+                    d += 8; s += 8;
+                    int64_t rem = (int64_t)length - 8;
+                    while (rem > 0) { memcpy(d, s, 8); d += 8; s += 8; rem -= 8; }
+                }
+            } else if (dist == 1) {
+                memset(d, *s, length);
+            } else {
+                // dist 2..7: seed one >=8-byte period-aligned window
+                // byte-wise, then the pattern repeats every `off`
+                // bytes and word copies from d-off are exact
+                int off = dist; while (off < 8) off += dist;
+                uint8_t* dd = d;
+                for (int k = 0; k < off; k++) { *dd = dd[-(int)dist]; dd++; }
+                const uint8_t* ss = dd - off;
+                int64_t rem = (int64_t)length - off;
+                while (rem > 0) { memcpy(dd, ss, 8); dd += 8; ss += 8; rem -= 8; }
+            }
+        }
+    }
+    for (;;) {
+        // one refill covers the worst-case symbol: 15+5+15+13 <= 56
+        bi_fill(&b);
+        uint32_t e = lit_table_[(uint32_t)b.acc & lit_mask];
+        if (!e) return -3;
+        int w = e & 31;
+        if (b.nbits < w) return -1;
+        b.acc >>= w; b.nbits -= w;
+        if ((int32_t)e < 0) {
+            if (o >= cap) return -8;
+            dst[o++] = (uint8_t)(e >> 16);
+        } else if (e & 0x40000000u) {
+            break;
+        } else if (e & 0x20000000u) {
+            return -10;
+        } else {
+            uint32_t le = (e >> 8) & 15;
+            uint32_t length = (e >> 16) +
+                ((uint32_t)b.acc & ((1u << le) - 1));
+            b.acc >>= le; b.nbits -= le;
+            uint32_t de = dist_table_[(uint32_t)b.acc & dist_mask];
+            if (!de) return -3;
+            int dw = de & 31;
+            b.acc >>= dw; b.nbits -= dw;
+            uint32_t dxe = (de >> 8) & 15;
+            uint32_t dist = (de >> 16) +
+                ((uint32_t)b.acc & ((1u << dxe) - 1));
+            b.acc >>= dxe; b.nbits -= dxe;
+            if (b.nbits < 0) return -1;
+            if (dist > o) return -12;   // distance too far back
+            if (o + length > cap) return -8;
+            const uint8_t* s = dst + o - dist;
+            uint8_t* d = dst + o;
+            o += length;
+            if (dist >= 8) {
+                while (length >= 8) { memcpy(d, s, 8); d += 8; s += 8; length -= 8; }
+                while (length--) *d++ = *s++;
+            } else {
+                while (length--) *d++ = *s++;
+            }
+        }
+    }
+    block_end:;
+    *bp = b;
+    *o_io = o;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Interleaved two-stream inflate.  The single-stream hot loop is a
+// serial dependency chain (table load -> shift -> next index); stepping
+// two independent members in lockstep lets the out-of-order core
+// overlap their table loads.  Only the common PGZF shape is taken — a
+// single final dynamic block per member (first 3 bits == 0b101) — and
+// either stream hands over to the resumable decode_huff_block when the
+// dual loop's safety margins run out.
+// ---------------------------------------------------------------------------
+struct DualSt {
+    BitIn b;
+    uint64_t o;
+    int state;                 // 0 running, 1 EOB reached, <0 error code
+};
+
+static inline void dual_step(DualSt* s, const uint32_t* lit_t, uint32_t lit_mask,
+                             const uint32_t* dist_t, uint32_t dist_mask,
+                             uint8_t* dst) {
+    BitIn* b = &s->b;
+    uint64_t o = s->o;
+    uint32_t e = lit_t[(uint32_t)b->acc & lit_mask];
+    b->acc >>= (e & 31); b->nbits -= (e & 31);
+    if ((int32_t)e < 0) {
+        dst[o++] = (uint8_t)(e >> 16);
+        e = lit_t[(uint32_t)b->acc & lit_mask];
+        b->acc >>= (e & 31); b->nbits -= (e & 31);
+        if ((int32_t)e < 0) {
+            dst[o++] = (uint8_t)(e >> 16);
+            e = lit_t[(uint32_t)b->acc & lit_mask];
+            b->acc >>= (e & 31); b->nbits -= (e & 31);
+            if ((int32_t)e < 0) { dst[o++] = (uint8_t)(e >> 16); s->o = o; return; }
+        }
+    }
+    if (e & 0x60000000u) {
+        s->o = o;
+        s->state = (e & 0x40000000u) ? 1 : -10;
+        return;
+    }
+    if (!e) { s->state = -3; return; }
+    uint32_t le = (e >> 8) & 15;
+    uint32_t length = (e >> 16) + ((uint32_t)b->acc & ((1u << le) - 1));
+    b->acc >>= le; b->nbits -= le;
+    bi_fill(b);                          // distance code + extras <= 28 bits
+    uint32_t de = dist_t[(uint32_t)b->acc & dist_mask];
+    if (!de) { s->state = -3; return; }
+    b->acc >>= (de & 31); b->nbits -= (de & 31);
+    uint32_t dxe = (de >> 8) & 15;
+    uint32_t dist = (de >> 16) + ((uint32_t)b->acc & ((1u << dxe) - 1));
+    b->acc >>= dxe; b->nbits -= dxe;
+    if (dist > o) { s->state = -12; return; }
+    const uint8_t* src_ = dst + o - dist;
+    uint8_t* d = dst + o;
+    o += length;
+    if (dist >= 8) {
+        memcpy(d, src_, 8);
+        if (length > 8) {
+            d += 8; src_ += 8;
+            int64_t rem = (int64_t)length - 8;
+            while (rem > 0) { memcpy(d, src_, 8); d += 8; src_ += 8; rem -= 8; }
+        }
+    } else if (dist == 1) {
+        memset(d, *src_, length);
+    } else {
+        int off = dist; while (off < 8) off += dist;
+        uint8_t* dd = d;
+        for (int k = 0; k < off; k++) { *dd = dd[-(int)dist]; dd++; }
+        const uint8_t* ss = dd - off;
+        int64_t rem = (int64_t)length - off;
+        while (rem > 0) { memcpy(dd, ss, 8); dd += 8; ss += 8; rem -= 8; }
+    }
+    s->o = o;
+}
+
+// set up one stream of a pair: header + tables.  Returns 0 ok, -100 if
+// the member is not a single-final-dynamic-block stream (caller falls
+// back to two independent lf_inflate calls), else a parse error.
+static int pair_setup(const uint8_t* src, uint64_t n, BitIn* b,
+                      uint32_t* lit_table, int* lit_bits,
+                      uint32_t* dist_table, int* dist_bits) {
+    bi_init(b, src, n, 0);
+    int final_ = bi_read(b, 1);
+    int btype = bi_read(b, 2);
+    if (b->overrun) return -1;
+    if (final_ != 1 || btype != 2) return -100;
+    int32_t ll[286], dl[30];
+    int rc = parse_dyn_header(b, ll, dl);
+    if (rc) return rc;
+    bool any_dist = false;
+    int lmax = 1, dmax = 1;
+    for (int i = 0; i < 286; i++) if (ll[i] > lmax) lmax = ll[i];
+    for (int i = 0; i < 30; i++) {
+        any_dist |= dl[i] != 0;
+        if (dl[i] > dmax) dmax = dl[i];
+    }
+    *lit_bits = lmax; *dist_bits = dmax;
+    if (!build_table32(ll, 286, lit_table, lmax, false)) return -3;
+    if (any_dist) {
+        if (!build_table32(dl, 30, dist_table, dmax, true)) return -3;
+    } else {
+        memset(dist_table, 0, sizeof(uint32_t) << dmax);
+    }
+    return 0;
+}
+
+// errors are tagged: -1000-|rc| for stream A, -2000-|rc| for stream B
+int lf_inflate_pair(const uint8_t* sA, uint64_t nA, uint8_t* dA, uint64_t capA,
+                    uint64_t* onA,
+                    const uint8_t* sB, uint64_t nB, uint8_t* dB, uint64_t capB,
+                    uint64_t* onB) {
+    static thread_local uint32_t litA[1 << 15], distA[1 << 15];
+    static thread_local uint32_t litB[1 << 15], distB[1 << 15];
+    int lbA, dbA, lbB, dbB;
+    DualSt A, B;
+    A.o = 0; A.state = 0; B.o = 0; B.state = 0;
+    int rc = pair_setup(sA, nA, &A.b, litA, &lbA, distA, &dbA);
+    if (rc == -100) return -100;
+    if (rc) return -1000 + rc;
+    rc = pair_setup(sB, nB, &B.b, litB, &lbB, distB, &dbB);
+    if (rc == -100) return -100;
+    if (rc) return -2000 + rc;
+    const uint32_t lmA = (1u << lbA) - 1, dmA = (1u << dbA) - 1;
+    const uint32_t lmB = (1u << lbB) - 1, dmB = (1u << dbB) - 1;
+    while (A.state == 0 && B.state == 0 &&
+           A.o + 274 <= capA && A.b.pos + 16 <= A.b.size &&
+           B.o + 274 <= capB && B.b.pos + 16 <= B.b.size) {
+        bi_fill(&A.b);
+        bi_fill(&B.b);
+        dual_step(&A, litA, lmA, distA, dmA, dA);
+        dual_step(&B, litB, lmB, distB, dmB, dB);
+    }
+    if (A.state == 0) {
+        rc = decode_huff_block(&A.b, litA, lbA, distA, dbA, dA, &A.o, capA);
+        A.state = rc < 0 ? rc : 1;
+    }
+    if (B.state == 0) {
+        rc = decode_huff_block(&B.b, litB, lbB, distB, dbB, dB, &B.o, capB);
+        B.state = rc < 0 ? rc : 1;
+    }
+    if (A.state < 0) return -1000 + A.state;
+    if (B.state < 0) return -2000 + B.state;
+    *onA = A.o; *onB = B.o;
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Serial inflate
 //   returns: 0 ok; <0 error; sets *out_n, *end_bit
@@ -539,116 +810,9 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                 }
             }
             if (!ok) return -3;
-            const uint32_t lit_mask = (1u << lit_bits) - 1;
-            const uint32_t dist_mask = (1u << dist_bits) - 1;
-            // fastloop: enough output margin (longest match + word-copy
-            // overshoot) and input look-ahead that all bounds checks are
-            // hoisted.  One refill covers up to two literals plus a full
-            // length code incl. extras (15+15+20 = 50 <= 56); a second
-            // refill before the distance covers its worst case (28 bits).
-            while (o + 274 <= cap && b.pos + 16 <= b.size) {
-                bi_fill(&b);
-                uint32_t e = lit_table[(uint32_t)b.acc & lit_mask];
-                b.acc >>= (e & 31); b.nbits -= (e & 31);
-                if ((int32_t)e < 0) {
-                    dst[o++] = (uint8_t)(e >> 16);
-                    e = lit_table[(uint32_t)b.acc & lit_mask];
-                    b.acc >>= (e & 31); b.nbits -= (e & 31);
-                    if ((int32_t)e < 0) {
-                        dst[o++] = (uint8_t)(e >> 16);
-                        e = lit_table[(uint32_t)b.acc & lit_mask];
-                        b.acc >>= (e & 31); b.nbits -= (e & 31);
-                        if ((int32_t)e < 0) { dst[o++] = (uint8_t)(e >> 16); continue; }
-                    }
-                }
-                if (e & 0x60000000u) {
-                    if (e & 0x40000000u) goto block_end;
-                    return -10;
-                }
-                if (!e) return -3;
-                {
-                    uint32_t le = (e >> 8) & 15;
-                    uint32_t length = (e >> 16) +
-                        ((uint32_t)b.acc & ((1u << le) - 1));
-                    b.acc >>= le; b.nbits -= le;
-                    bi_fill(&b);           // distance code + extras <= 28 bits
-                    uint32_t de = dist_table[(uint32_t)b.acc & dist_mask];
-                    if (!de) return -3;
-                    b.acc >>= (de & 31); b.nbits -= (de & 31);
-                    uint32_t dxe = (de >> 8) & 15;
-                    uint32_t dist = (de >> 16) +
-                        ((uint32_t)b.acc & ((1u << dxe) - 1));
-                    b.acc >>= dxe; b.nbits -= dxe;
-                    if (dist > o) return -12;
-                    const uint8_t* s = dst + o - dist;
-                    uint8_t* d = dst + o;
-                    o += length;
-                    if (dist >= 8) {
-                        // margin guaranteed: copy in unconditional 8B chunks
-                        memcpy(d, s, 8);
-                        if (length > 8) {
-                            d += 8; s += 8;
-                            int64_t rem = (int64_t)length - 8;
-                            while (rem > 0) { memcpy(d, s, 8); d += 8; s += 8; rem -= 8; }
-                        }
-                    } else if (dist == 1) {
-                        memset(d, *s, length);
-                    } else {
-                        // dist 2..7: seed one >=8-byte period-aligned window
-                        // byte-wise, then the pattern repeats every `off`
-                        // bytes and word copies from d-off are exact
-                        int off = dist; while (off < 8) off += dist;
-                        uint8_t* dd = d;
-                        for (int k = 0; k < off; k++) { *dd = dd[-(int)dist]; dd++; }
-                        const uint8_t* ss = dd - off;
-                        int64_t rem = (int64_t)length - off;
-                        while (rem > 0) { memcpy(dd, ss, 8); dd += 8; ss += 8; rem -= 8; }
-                    }
-                }
-            }
-            for (;;) {
-                // one refill covers the worst-case symbol: 15+5+15+13 <= 56
-                bi_fill(&b);
-                uint32_t e = lit_table[(uint32_t)b.acc & lit_mask];
-                if (!e) return -3;
-                int w = e & 31;
-                if (b.nbits < w) return -1;
-                b.acc >>= w; b.nbits -= w;
-                if ((int32_t)e < 0) {
-                    if (o >= cap) return -8;
-                    dst[o++] = (uint8_t)(e >> 16);
-                } else if (e & 0x40000000u) {
-                    break;
-                } else if (e & 0x20000000u) {
-                    return -10;
-                } else {
-                    uint32_t le = (e >> 8) & 15;
-                    uint32_t length = (e >> 16) +
-                        ((uint32_t)b.acc & ((1u << le) - 1));
-                    b.acc >>= le; b.nbits -= le;
-                    uint32_t de = dist_table[(uint32_t)b.acc & dist_mask];
-                    if (!de) return -3;
-                    int dw = de & 31;
-                    b.acc >>= dw; b.nbits -= dw;
-                    uint32_t dxe = (de >> 8) & 15;
-                    uint32_t dist = (de >> 16) +
-                        ((uint32_t)b.acc & ((1u << dxe) - 1));
-                    b.acc >>= dxe; b.nbits -= dxe;
-                    if (b.nbits < 0) return -1;
-                    if (dist > o) return -12;   // distance too far back
-                    if (o + length > cap) return -8;
-                    const uint8_t* s = dst + o - dist;
-                    uint8_t* d = dst + o;
-                    o += length;
-                    if (dist >= 8) {
-                        while (length >= 8) { memcpy(d, s, 8); d += 8; s += 8; length -= 8; }
-                        while (length--) *d++ = *s++;
-                    } else {
-                        while (length--) *d++ = *s++;
-                    }
-                }
-            }
-            block_end:;
+            int rc2 = decode_huff_block(&b, lit_table, lit_bits,
+                                        dist_table, dist_bits, dst, &o, cap);
+            if (rc2 < 0) return rc2;
         }
         if (final_) break;
     }
@@ -1230,17 +1394,50 @@ int lf_inflate_batch_at(const uint8_t* base, const uint64_t* starts,
     crc_init();
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> bad{-1};
+    auto one = [&](int32_t i) -> bool {
+        uint64_t body_len = ends[i] - starts[i];
+        uint64_t cap = out_offsets[i + 1] - out_offsets[i];
+        uint64_t on = 0, eb = 0;
+        int rc = lf_inflate(base + starts[i], body_len,
+                            out + out_offsets[i], cap, &on, &eb);
+        if (rc != 0 || on != cap) { bad.store(i); return false; }
+        if (crcs) crcs[i] = lf_crc32(out + out_offsets[i], on, 0);
+        return true;
+    };
     auto worker = [&]() {
         for (;;) {
-            int32_t i = next.fetch_add(1);
+            int32_t i = next.fetch_add(2);
             if (i >= batch || bad.load() >= 0) return;
-            uint64_t body_len = ends[i] - starts[i];
-            uint64_t cap = out_offsets[i + 1] - out_offsets[i];
-            uint64_t on = 0, eb = 0;
-            int rc = lf_inflate(base + starts[i], body_len,
-                                out + out_offsets[i], cap, &on, &eb);
-            if (rc != 0 || on != cap) { bad.store(i); return; }
-            if (crcs) crcs[i] = lf_crc32(out + out_offsets[i], on, 0);
+            if (i + 1 < batch) {
+                // interleaved pair path when both members have the
+                // single-final-dynamic-block shape (first 3 bits 0b101)
+                uint64_t lenA = ends[i] - starts[i];
+                uint64_t lenB = ends[i+1] - starts[i+1];
+                if (lenA > 0 && lenB > 0 &&
+                    (base[starts[i]] & 7) == 5 && (base[starts[i+1]] & 7) == 5) {
+                    uint64_t capA = out_offsets[i + 1] - out_offsets[i];
+                    uint64_t capB = out_offsets[i + 2] - out_offsets[i + 1];
+                    uint64_t onA = 0, onB = 0;
+                    int rc = lf_inflate_pair(
+                        base + starts[i], lenA, out + out_offsets[i], capA, &onA,
+                        base + starts[i+1], lenB, out + out_offsets[i+1], capB, &onB);
+                    if (rc == 0) {
+                        if (onA != capA) { bad.store(i); return; }
+                        if (onB != capB) { bad.store(i + 1); return; }
+                        if (crcs) {
+                            crcs[i] = lf_crc32(out + out_offsets[i], onA, 0);
+                            crcs[i+1] = lf_crc32(out + out_offsets[i+1], onB, 0);
+                        }
+                        continue;
+                    }
+                    if (rc <= -2000) { bad.store(i + 1); return; }
+                    if (rc <= -1000) { bad.store(i); return; }
+                    // rc == -100: shape mismatch — decode singly below
+                }
+                if (!one(i) || !one(i + 1)) return;
+            } else {
+                if (!one(i)) return;
+            }
         }
     };
     int nt = n_threads > 0 ? n_threads
