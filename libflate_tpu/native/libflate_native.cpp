@@ -1198,6 +1198,9 @@ int lf_deflate3(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                 cand = nxt;
             }
             if (best_len < 3) return 0;
+            // zlib TOO_FAR: a length-3 match beyond 4 KiB codes longer
+            // than the three literals it replaces
+            if (best_len == 3 && best_dist > 4096) return 0;
             *dist = best_dist;
             return best_len;
         };
