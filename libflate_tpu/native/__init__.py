@@ -8,6 +8,7 @@ the backend registry then falls back to the serial engine.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -16,8 +17,11 @@ import threading
 import numpy as np
 
 _DIR = pathlib.Path(__file__).parent
-_SO = _DIR / "libflate_native.so"
 _SRC = _DIR / "libflate_native.cpp"
+# Binary name carries a content hash of the source: a stale or
+# foreign-machine .so (built with -march=native elsewhere) never loads.
+_SRC_HASH = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+_SO = _DIR / f"libflate_native-{_SRC_HASH}.so"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -25,6 +29,12 @@ _build_failed = False
 
 def _build() -> bool:
     try:
+        for stale in _DIR.glob("libflate_native*.so"):
+            if stale != _SO:
+                try:
+                    stale.unlink()
+                except OSError:
+                    pass
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              str(_SRC), "-o", str(_SO)],
@@ -42,7 +52,7 @@ def load():
             return _lib
         if _build_failed:
             return None
-        if not _SO.exists() or _SO.stat().st_mtime_ns <= _SRC.stat().st_mtime_ns:
+        if not _SO.exists():
             if not _build():
                 _build_failed = True
                 return None

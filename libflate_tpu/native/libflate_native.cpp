@@ -434,6 +434,7 @@ static int parse_dyn_header(BitIn* b, int32_t* lit_l, int32_t* dist_l) {
     int hdist = bi_read(b, 5) + 1;
     int hclen = bi_read(b, 4) + 4;
     if (b->overrun) return -1;
+    if (hlit > 286) return -2;            // "HLIT too big" (5-bit field reaches 288)
     if (hdist > 30) return -2;            // "HDIST too big"
     int32_t clc[19] = {0};
     for (int k = 0; k < hclen; k++) clc[CLC_ORDER[k]] = bi_read(b, 3);

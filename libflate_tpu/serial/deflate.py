@@ -154,6 +154,8 @@ def read_dynamic_header_lengths(r: BitReader
     hlit = r.read_bits(5) + 257
     hdist = r.read_bits(5) + 1
     hclen = r.read_bits(4) + 4
+    if hlit > C.MAX_LITLEN_SYMBOLS:
+        raise DeflateError(f"HLIT too big: {hlit}")
     if hdist > C.MAX_DIST_SYMBOLS:
         raise DeflateError(f"HDIST too big: {hdist}")
     ordered = np.zeros(C.MAX_CLC_SYMBOLS, dtype=np.int32)

@@ -57,3 +57,49 @@ def test_garbage_raw_inflate():
             native.inflate(garbage)
         except Exception:
             pass
+
+
+@pytest.mark.parametrize("hlit_field", [29, 30, 31])
+def test_oversized_hlit_rejected(hlit_field):
+    """HLIT is a 5-bit field reaching 257+31=288 > the 286-symbol alphabet.
+
+    Values 287/288 must be rejected by every engine with a clean
+    DeflateError — not an out-of-bounds write (native) or a numpy
+    broadcast ValueError (serial).  Mirrors the reference's implicit
+    bound (heap Vec collection in src/deflate/symbol.rs).
+    """
+    from libflate_tpu.serial.bitio import BitWriter
+    from libflate_tpu.serial.deflate import DeflateError, inflate as s_inflate
+
+    w = BitWriter()
+    w.write_bits(1, 1)            # BFINAL
+    w.write_bits(2, 2)            # BTYPE=dynamic
+    w.write_bits(hlit_field, 5)   # HLIT -> 257+field literal codes
+    w.write_bits(0, 5)            # HDIST -> 1
+    w.write_bits(15, 4)           # HCLEN -> 19 CLC widths follow
+    # CLC: symbol 18 (3rd in CLC order) len 1, symbol 0 (4th) len 1
+    for k in range(19):
+        w.write_bits(1 if k in (2, 3) else 0, 3)
+    # fill the whole table with zeros via repeated 18-runs (code '0'=sym18)
+    for _ in range(4):
+        w.write_bits(0, 1)        # sym 18
+        w.write_bits(127, 7)      # run 138
+    data = w.getvalue() if hasattr(w, "getvalue") else bytes(w.finish())
+
+    expect_ok = hlit_field <= 29  # 286 symbols is legal per the alphabet cap
+    try:
+        s_inflate(data)
+        serial_raised = None
+    except DeflateError as e:
+        serial_raised = str(e)
+    except EOFError:
+        serial_raised = "eof"
+    if not expect_ok:
+        assert serial_raised is not None and "broadcast" not in serial_raised
+
+    native = pytest.importorskip("libflate_tpu.native")
+    if native.available():
+        try:
+            native.inflate(data)
+        except Exception as e:
+            assert not isinstance(e, (MemoryError, SystemError))
