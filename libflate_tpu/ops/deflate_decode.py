@@ -492,10 +492,20 @@ def tables_from_lengths(lit_lengths: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # Host-orchestrated full inflate (foreign or own streams)
 # ---------------------------------------------------------------------------
-def _bytes_to_words(data: bytes) -> np.ndarray:
+def _bytes_to_words(data: bytes, bucket: bool = False) -> np.ndarray:
+    """Pack bytes into LSB-first uint32 words (+2 words of zero slack).
+
+    ``bucket`` rounds the word count up to a power of two so repeated
+    host-orchestrated calls with nearby stream sizes share one compiled
+    shape (XLA recompiles per distinct shape)."""
     pad = (-len(data)) % 4 + 8
     arr = np.frombuffer(bytes(data) + b"\x00" * pad, np.uint8)
-    return arr.view("<u4")
+    words = arr.view("<u4")
+    if bucket:
+        n = max(64, 1 << (len(words) - 1).bit_length())
+        if n > len(words):
+            words = np.concatenate([words, np.zeros(n - len(words), "<u4")])
+    return words
 
 
 def inflate_device(data: bytes, out_cap: int | None = None):
@@ -510,7 +520,7 @@ def inflate_device(data: bytes, out_cap: int | None = None):
     from ..serial.deflate import DeflateError, InflateResult, \
         read_dynamic_header_lengths
 
-    words_np = _bytes_to_words(data)
+    words_np = _bytes_to_words(data, bucket=True)
     words = jnp.asarray(words_np)
     out = bytearray()
     r = BitReader(bytes(data))
@@ -535,26 +545,42 @@ def inflate_device(data: bytes, out_cap: int | None = None):
             start = r.bit_position
             lit_t, dist_t = tables_from_lengths(
                 jnp.asarray(lit_l)[None, :], jnp.asarray(dist_l)[None, :])
-            cap = out_cap or max(1 << 16, 4 * len(data) + 1024)
-            max_tokens = cap + 1
-            a, b, nt, end_bit, err = decode_symbols(
-                words[None, :], jnp.asarray([start], jnp.int32),
-                lit_t, dist_t, max_tokens)
-            if bool(err[0]):
-                raise DeflateError("invalid Huffman code in stream")
+            cap0 = out_cap or max(1 << 16, 4 * len(data) + 1024)
+            cap0 = 1 << (cap0 - 1).bit_length()      # shape bucketing
             hist_cap = C.WINDOW_SIZE
             hist = np.zeros((1, hist_cap), np.uint8)
             tail = bytes(out[-hist_cap:])
             if tail:
                 hist[0, hist_cap - len(tail):] = np.frombuffer(tail,
                                                                np.uint8)
-            chunk, n_out, xerr = expand_tokens_device(
-                a, b, nt, cap, jnp.asarray(hist),
-                jnp.asarray([len(tail)], jnp.int32), hist_cap)
-            if bool(xerr[0]):
-                raise DeflateError(
-                    "back-pointer distance exceeds decoded history "
-                    "or output overflow")
+            for attempt in range(4):
+                cap = cap0 << (2 * attempt)
+                # every token yields ≥1 output byte, and a symbol is ≥1
+                # bit, so both bounds cap the scan length
+                max_tokens = min(cap, 8 * len(data) + 64) + 1
+                a, b, nt, end_bit, err = decode_symbols_chunked(
+                    words[None, :], jnp.asarray([start], jnp.int32),
+                    lit_t, dist_t, max_tokens)
+                if bool(err[0]):
+                    # token budget exhausted (every emitted slot valid)
+                    # means the block outgrew cap — retry bigger; a bad
+                    # code mid-stream leaves slack in the budget
+                    if int(nt[0]) >= max_tokens - 1 and cap < 8 * len(data):
+                        continue
+                    raise DeflateError("invalid Huffman code in stream")
+                chunk, n_out, xerr = expand_tokens_device(
+                    a, b, nt, cap, jnp.asarray(hist),
+                    jnp.asarray([len(tail)], jnp.int32), hist_cap)
+                if not bool(xerr[0]):
+                    break
+                # distinguish overflow (token sizes sum past cap) from a
+                # genuine bad back-reference before retrying bigger
+                sizes = np.asarray(jnp.where(b > 0, a, 1))[0]
+                if int(sizes[: int(nt[0])].sum()) <= cap:
+                    raise DeflateError(
+                        "back-pointer distance exceeds decoded history")
+            else:
+                raise DeflateError("output overflow")
             piece = np.asarray(chunk[0])[: int(n_out[0])]
             out += piece.tobytes()
             r = BitReader(bytes(data))

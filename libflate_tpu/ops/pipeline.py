@@ -276,11 +276,12 @@ def _register_engine() -> None:
             v = ck.adler32_combine(adler, v, len(data))
         return v
 
+    from .deflate_decode import inflate_device
+
     backend.register(backend.Engine(
         name="tpu",
         deflate=lambda data, opts=None: deflate_device(bytes(data), opts),
-        # device inflate lands with ops.deflate_decode; serial meanwhile
-        inflate=lambda data: sd.inflate(bytes(data)),
+        inflate=lambda data: inflate_device(bytes(data)),
         crc32=_crc32,
         adler32=_adler32,
     ))

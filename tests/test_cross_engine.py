@@ -17,6 +17,8 @@ def _engines():
     names = ["serial"]
     if native.available():
         names.append("native")
+    import libflate_tpu.ops.pipeline  # noqa: F401  (registers "tpu")
+    names.append("tpu")
     return names
 
 
