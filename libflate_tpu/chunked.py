@@ -161,25 +161,18 @@ class ChunkedDeflateDecoder:
                                 raise DeflateError(
                                     "back-pointer distance exceeds "
                                     "decoded history")
-                            piece = bytearray()
+                            # overlapped copy == tiling the dist-sized
+                            # window (rle-decode-fast semantics)
                             start = len(self._history) - dist
-                            for k in range(length):
-                                if start + k < len(self._history):
-                                    piece.append(self._history[start + k])
-                                else:
-                                    piece.append(
-                                        piece[start + k -
-                                              len(self._history)])
-                            self._emit(out, bytes(piece))
+                            window = bytes(self._history[start:])
+                            piece = (window * (length // dist + 1))[:length]
+                            self._emit(out, piece)
                         self._commit(r)
                         emitted = True
                     except EOFError:
                         r.restore(sym_snapshot)
                         del bits_before
                         return emitted and False
-                    except HuffmanDecodeIncomplete:
-                        r.restore(sym_snapshot)
-                        return False
             return False
         except EOFError:
             self._bit_offset = snapshot
@@ -190,8 +183,6 @@ class ChunkedDeflateDecoder:
             raise EOFError("deflate stream is incomplete")
 
 
-class HuffmanDecodeIncomplete(Exception):
-    pass
 
 
 class ChunkedGzipDecoder:

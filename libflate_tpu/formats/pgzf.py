@@ -30,18 +30,61 @@ from ..spec import constants as C
 from . import gzip as fgzip
 
 INDEX_ID = b"LF"
+SYNC_ID = b"LS"
 DEFAULT_MEMBER_SIZE = 64 * 1024
 
 
-def _member_header(member_len_placeholder: int, mtime: int = 0) -> bytes:
-    extra = fgzip.ExtraField([fgzip.ExtraSubField(
-        INDEX_ID, struct.pack("<I", member_len_placeholder))])
-    hdr = fgzip.Header(mtime=mtime, os=C.GZIP_OS_UNIX, extra=extra)
+def _member_header(member_len_placeholder: int, mtime: int = 0,
+                   sync_payload: bytes | None = None) -> bytes:
+    """Indexed member header: LF (member size) + optional LS (sync index).
+
+    LF must stay first — its u32 size slot sits at a fixed offset
+    (_SIZE_OFFSET) so the assembled member can be patched in place."""
+    subs = [fgzip.ExtraSubField(INDEX_ID,
+                                struct.pack("<I", member_len_placeholder))]
+    if sync_payload is not None:
+        subs.append(fgzip.ExtraSubField(SYNC_ID, sync_payload))
+    hdr = fgzip.Header(mtime=mtime, os=C.GZIP_OS_UNIX,
+                       extra=fgzip.ExtraField(subs))
     return hdr.encode()
 
 
 _HEADER_LEN = len(_member_header(0))
 _SIZE_OFFSET = _HEADER_LEN - 4          # u32 sits at the end of EXTRA
+
+
+def _sync_payload(k: int, n_tokens: int, offsets: np.ndarray) -> bytes:
+    """Serialize the "LS" sync-index subfield.
+
+    Layout (LE): u8 version=1 | u8 flags=0 | u16 K | u32 n_tokens |
+    u32 first_bit | u16 n_chunks | u16 deltas[n_chunks-1] — deltas are
+    bit distances between consecutive chunk starts (each covers K
+    tokens; max 42-bit tokens keep K*42 < 2^16 for K <= 1024).
+    """
+    n_chunks = max(0, -(-n_tokens // k))
+    first_bit = int(offsets[0])
+    deltas = np.diff(offsets[:n_chunks]).astype("<u2") if n_chunks > 1 \
+        else np.zeros(0, "<u2")
+    return (struct.pack("<BBHIIH", 1, 0, k, n_tokens, first_bit, n_chunks)
+            + deltas.tobytes())
+
+
+def _parse_sync(hdr: "fgzip.Header"):
+    """Parse an LS subfield; None when absent/foreign/malformed."""
+    if hdr.extra is None:
+        return None
+    for sub in hdr.extra.subfields:
+        if sub.id != SYNC_ID or len(sub.data) < 14:
+            continue
+        ver, _flags, k, n_tokens, first_bit, n_chunks = struct.unpack_from(
+            "<BBHIIH", sub.data, 0)
+        if ver != 1 or k == 0 or k > 1024:
+            return None
+        if len(sub.data) != 14 + 2 * max(0, n_chunks - 1):
+            return None
+        deltas = np.frombuffer(sub.data, "<u2", offset=14)
+        return k, n_tokens, first_bit, n_chunks, deltas
+    return None
 
 
 def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
@@ -153,15 +196,26 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
 
     # shared-table mode: one batch-global Huffman code set, transmitted
     # identically in every member header — enables the shared-table
-    # parallel decoder while staying 100% standard gzip.  The member
+    # parallel decoders while staying 100% standard gzip.  The member
     # -level stored fallback below covers incompressible chunks.
     btype = "shared" if opts.block_type == "dynamic" else opts.block_type
-    words_l, bits_l, crcs_l = [], [], []
+    sync = btype == "shared"
+    words_l, bits_l, crcs_l, cnt_l, offs_l = [], [], [], [], []
     bfinal_j = jnp.asarray(bfinal)
     for g in range(n_batches):
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
-        w, bts = _encode_batch(jnp.asarray(blocks[sl]),
-                               jnp.asarray(n_valid[sl]), bfinal_j, btype)
+        if sync:
+            from ..ops.pallas_sync_decode import SYNC_TOKENS
+            from ..ops.pipeline import _encode_batch_sync
+            w, bts, cnt, offs = _encode_batch_sync(
+                jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
+                bfinal_j, SYNC_TOKENS)
+            cnt_l.append(np.asarray(cnt))
+            offs_l.append(np.asarray(offs))
+        else:
+            w, bts = _encode_batch(jnp.asarray(blocks[sl]),
+                                   jnp.asarray(n_valid[sl]), bfinal_j,
+                                   btype)
         words_l.append(np.asarray(w))
         bits_l.append(np.asarray(bts))
         # batched CRC over right-aligned rows
@@ -174,6 +228,8 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     words = np.concatenate(words_l, axis=0)
     bits = np.concatenate(bits_l, axis=0)
     crcs = np.concatenate(crcs_l, axis=0)
+    cnts = np.concatenate(cnt_l, axis=0) if sync else None
+    offs = np.concatenate(offs_l, axis=0) if sync else None
 
     from ..serial.deflate import deflate as serial_deflate
 
@@ -181,13 +237,18 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     for i in range(n_members):
         body = splice_blocks_host(words[i:i + 1], bits[i:i + 1])
         nv = int(n_valid[i])
+        sync_payload = None
+        if sync and cnts is not None and int(cnts[i]) > 0:
+            from ..ops.pallas_sync_decode import SYNC_TOKENS
+            sync_payload = _sync_payload(SYNC_TOKENS, int(cnts[i]), offs[i])
         stored_size = nv + 5 * max(1, -(-nv // C.MAX_STORED_BLOCK))
         if len(body) >= stored_size:
             # incompressible member: stored blocks beat entropy coding
             raw_member = raw[i * member_size:i * member_size + nv].tobytes()
             body = serial_deflate(raw_member,
                                   EncodeOptions(block_type="stored"))
-        member = bytearray(_member_header(0))
+            sync_payload = None
+        member = bytearray(_member_header(0, sync_payload=sync_payload))
         member += body
         member += struct.pack("<II", int(crcs[i]), int(n_valid[i]))
         struct.pack_into("<I", member, _SIZE_OFFSET, len(member))
@@ -262,10 +323,16 @@ def decompress(data: bytes, engine: str | None = None,
         except ImportError:
             pass
     import os
-    if os.environ.get("LIBFLATE_SPEC_DECODE"):
-        # speculative Pallas path: position-decode kernel is fast
-        # (66 ms / 8 MiB), but its chain-follow/compaction still run in
-        # XLA — opt-in until the phase-B kernels land
+    if not os.environ.get("LIBFLATE_NO_SYNC"):
+        # sync-indexed Pallas path: zero-speculation kernel over the
+        # "LS" chunk index (the device encoder emits it by default)
+        try:
+            return _decompress_sync_device(data, refs, verify)
+        except ImportError:
+            pass
+    if not os.environ.get("LIBFLATE_NO_SPEC"):
+        # speculative Pallas path for shared-table streams without the
+        # index: position-decode kernel + chain-follow
         try:
             return _decompress_shared_device(data, refs, verify)
         except ImportError:
@@ -299,6 +366,207 @@ def _decompress_native(data: bytes, refs: list[MemberRef],
             f"{int(crcs_expected[bad]):#010x}, computed "
             f"{int(crcs[bad]):#010x}")
     return out
+
+
+def _decompress_sync_device(data: bytes, refs: list[MemberRef],
+                            verify: bool) -> bytes:
+    """Sync-indexed decode: zero-speculation Pallas kernel.
+
+    Every member carries an "LS" subfield listing the bit offset of each
+    K-token chunk; chunks decode independently in ops/pallas_sync_decode
+    (1024 lockstep slots per grid program), tokens land pre-compacted,
+    and the threaded native engine expands them at memcpy speed.
+    Raises ImportError to fall back when the index or the TPU backend is
+    missing.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_sync_decode as psd
+    from ..ops.huffman import decode_table
+    from ..serial.bitio import BitReader
+    from ..serial.deflate import DeflateError, read_dynamic_header_lengths
+    from .gzip import GzipError
+
+    if (jax.default_backend() == "cpu"
+            and not os.environ.get("LIBFLATE_PALLAS_INTERPRET")):
+        raise ImportError("sync kernel needs a TPU backend")
+
+    bsz = len(refs)
+    isizes = np.zeros((bsz,), np.int64)
+    crcs_expected = np.zeros((bsz,), np.uint32)
+    syncs: list = [None] * bsz
+    for i, ref in enumerate(refs):
+        crcs_expected[i], isizes[i] = struct.unpack_from(
+            "<II", data, ref.end - 8)
+        hdr, _body = fgzip.Header.decode(data, ref.start)
+        syncs[i] = _parse_sync(hdr)
+    if not any(s is not None for s in syncs):
+        raise ImportError("no sync index present")
+
+    # block-header parse (tables); native batch parser when available
+    from .. import native
+    bodies_all = b"".join(data[r.body:r.end - 8] for r in refs)
+    offs_b = np.zeros(bsz + 1, np.uint64)
+    for i, r in enumerate(refs):
+        offs_b[i + 1] = offs_b[i] + (r.end - 8 - r.body)
+    if native.available():
+        lit_ls, dist_ls, starts64, flags = native.parse_dyn_headers(
+            bodies_all, offs_b)
+        dyn_ok = flags == (1 | (C.BTYPE_DYNAMIC << 1))
+    else:
+        lit_ls = np.zeros((bsz, 288), np.int32)
+        dist_ls = np.zeros((bsz, C.MAX_DIST_SYMBOLS), np.int32)
+        starts64 = np.zeros((bsz,), np.int64)
+        dyn_ok = np.zeros((bsz,), bool)
+        for i, ref in enumerate(refs):
+            if syncs[i] is None:
+                continue
+            body = data[ref.body:ref.end - 8]
+            r = BitReader(body)
+            final = r.read_bits(1)
+            btype = r.read_bits(2)
+            if not final or btype != C.BTYPE_DYNAMIC:
+                continue
+            try:
+                (lit_ls[i, :C.MAX_LITLEN_SYMBOLS],
+                 dist_ls[i]) = read_dynamic_header_lengths(r)
+            except DeflateError:
+                continue
+            starts64[i] = r.bit_position
+            dyn_ok[i] = True
+
+    device_ok = np.array(
+        [syncs[i] is not None and bool(dyn_ok[i])
+         and int(lit_ls[i].max()) <= 12 and int(dist_ls[i].max()) <= 8
+         and int(syncs[i][1]) > 0
+         for i in range(bsz)], bool)
+
+    # host fallback for stored/foreign/oversized-table members
+    pieces: list[bytes | None] = [None] * bsz
+    for i in np.nonzero(~device_ok)[0]:
+        body = data[refs[i].body:refs[i].end - 8]
+        if native.available():
+            pieces[int(i)], _ = native.inflate(
+                body, initial_cap=int(isizes[i]) + 64)
+        else:
+            from ..serial.deflate import inflate as s_inflate
+            pieces[int(i)] = bytes(s_inflate(body).data)
+
+    dev_idx = [int(i) for i in np.nonzero(device_ok)[0]]
+    if not dev_idx:
+        raise ImportError("no sync-decodable members")
+
+    # group consecutive members by identical tables + K (one kernel
+    # launch per group; the shared-table encoder emits identical
+    # headers across each batch of 128)
+    groups: list[list[int]] = []
+    for i in dev_idx:
+        if (groups and (lit_ls[groups[-1][0]] == lit_ls[i]).all()
+                and (dist_ls[groups[-1][0]] == dist_ls[i]).all()
+                and syncs[groups[-1][0]][0] == syncs[i][0]):
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+
+    member_toks: dict[int, np.ndarray] = {}
+    for group in groups:
+        k_tok = int(syncs[group[0]][0])
+        chunk_offs: list[int] = []
+        chunk_ext: list[int] = []
+        chunk_cnt: list[int] = []
+        member_span: list[tuple[int, int, int]] = []   # (member, s0, nc)
+        for i in group:
+            _k, n_tokens, first_bit, n_chunks, deltas = syncs[i]
+            body_bits = (refs[i].end - 8 - refs[i].body) * 8
+            starts = np.zeros(n_chunks, np.int64)
+            starts[0] = first_bit
+            if n_chunks > 1:
+                starts[1:] = first_bit + np.cumsum(
+                    deltas.astype(np.int64))
+            ends = np.empty(n_chunks, np.int64)
+            ends[:-1] = starts[1:]
+            ends[-1] = body_bits
+            if (ends < starts).any() or ends[-1] > body_bits:
+                raise ImportError("corrupt sync index")
+            base_bit = refs[i].body * 8
+            s0 = len(chunk_offs)
+            chunk_offs.extend((base_bit + starts).tolist())
+            chunk_ext.extend((ends - starts).tolist())
+            for j in range(n_chunks):
+                chunk_cnt.append(min(k_tok, n_tokens - j * k_tok))
+            member_span.append((i, s0, n_chunks))
+
+        ext = np.asarray(chunk_ext, np.int64)
+        offs_arr = np.asarray(chunk_offs, np.int64)
+        need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
+        d_words = max(32, -(-need // 32) * 32)
+        staged, sb = psd.stage_chunks(data, offs_arr, ext, d_words)
+        s_n = len(chunk_offs)
+        counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
+        counts[:s_n] = chunk_cnt
+        counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
+
+        lit_t = decode_table(
+            jnp.asarray(lit_ls[group[0]][:C.MAX_LITLEN_SYMBOLS]), 12)
+        dist_t = decode_table(jnp.asarray(dist_ls[group[0]]), 8)
+        out = np.asarray(psd.sync_decode(
+            jnp.asarray(staged), jnp.asarray(sb), jnp.asarray(counts),
+            lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), k_tok))
+        toks = psd.gather_tokens(out, s_n, k_tok)
+        for i, s0, nc in member_span:
+            n_tokens = int(syncs[i][1])
+            member_toks[i] = toks[s0:s0 + nc].reshape(-1)[:n_tokens]
+
+    # expand all device members in one threaded native call
+    max_t = max(len(t) for t in member_toks.values())
+    stride = -(-max_t // 1024) * 1024
+    arr = np.zeros((len(dev_idx), stride), np.int32)
+    cnt64 = np.zeros((len(dev_idx),), np.int64)
+    sizes = np.zeros((len(dev_idx),), np.int64)
+    for kk, i in enumerate(dev_idx):
+        t = member_toks[i]
+        arr[kk, :len(t)] = t
+        cnt64[kk] = len(t)
+        sizes[kk] = isizes[i]
+    if native.available():
+        blob, crcs = native.expand_batch(arr, None, cnt64, sizes)
+        pos = 0
+        for kk, i in enumerate(dev_idx):
+            pieces[i] = blob[pos:pos + int(sizes[kk])]
+            pos += int(sizes[kk])
+        if verify:
+            for kk, i in enumerate(dev_idx):
+                if int(crcs[kk]) != int(crcs_expected[i]):
+                    raise GzipError(f"gzip CRC mismatch in member {i}")
+    else:
+        from ..serial.lz77 import expand_tokens
+        from ..utils.checksum import crc32 as host_crc32
+        for kk, i in enumerate(dev_idx):
+            t = member_toks[i]
+            toks_l = [(int(v) & 511, int(v) >> 9) for v in t]
+            piece = bytes(expand_tokens(toks_l))
+            if len(piece) != int(isizes[i]):
+                raise GzipError(f"gzip ISIZE mismatch in member {i}")
+            if verify and host_crc32(piece) != int(crcs_expected[i]):
+                raise GzipError(f"gzip CRC mismatch in member {i}")
+            pieces[i] = piece
+
+    if verify:
+        for i in np.nonzero(~device_ok)[0]:
+            i = int(i)
+            piece = pieces[i]
+            if len(piece) != int(isizes[i]):
+                raise GzipError(f"gzip ISIZE mismatch in member {i}")
+            eng_crc = (native.crc32 if native.available() else None)
+            if eng_crc is None:
+                from ..utils.checksum import crc32 as eng_crc
+            if eng_crc(piece) != int(crcs_expected[i]):
+                raise GzipError(f"gzip CRC mismatch in member {i}")
+
+    return b"".join(pieces)  # type: ignore[arg-type]
 
 
 def _decompress_shared_device(data: bytes, refs: list[MemberRef],

@@ -210,6 +210,41 @@ def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     return _pack_batch(values, widths)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _sync_offsets_batch(widths: jnp.ndarray, k: int):
+    """Bit offsets of every k-th token boundary from the field widths.
+
+    In the shared/dynamic field layout, token t occupies fields
+    [F0 + 2t, F0 + 2t + 2) with F0 = N_HEADER_FIELDS + N_LENGTH_FIELDS.
+    Returns (B, S) int32 absolute bit offsets of tokens 0, k, 2k, …
+    (S = ceil(max_tokens / k) + 1; entries past a member's token count
+    saturate at the end-of-tokens offset).
+    """
+    from .deflate_encode import N_HEADER_FIELDS, N_LENGTH_FIELDS
+    f0 = N_HEADER_FIELDS + N_LENGTH_FIELDS
+    m = (widths.shape[1] - f0 - 1) // 2
+    slots = -(-m // k) + 1
+    idx = f0 + 2 * k * jnp.arange(slots, dtype=jnp.int32)
+    idx = jnp.clip(idx, 1, widths.shape[1])
+    cum = jnp.cumsum(widths.astype(jnp.int32), axis=1)
+    return cum[:, idx - 1]                   # offset of field f = cum[f-1]
+
+
+def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                       bfinal: jnp.ndarray, k: int):
+    """Shared-table batch encode that also returns the sync index.
+
+    Returns (words (B, W), bits (B,), n_tokens (B,), offsets (B, S)) —
+    ``offsets[i, j]`` is the absolute bit position of member i's token
+    ``k*j`` (the input to the PGZF "LS" subfield / sync decode kernel).
+    """
+    a, b, cnt = _tokenize_batch(blocks, n_valid)
+    values, widths = _fields_batch_shared(a, b, cnt, bfinal)
+    words, bits = _pack_batch(values, widths)
+    offsets = _sync_offsets_batch(widths, k)
+    return words, bits, cnt, offsets
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
 def _encode_batch_literal(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                           bfinal: jnp.ndarray, block_type: str):

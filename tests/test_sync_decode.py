@@ -1,0 +1,155 @@
+"""Sync-indexed PGZF mode: LS subfield + zero-speculation Pallas decode.
+
+Kernel semantics are pinned on CPU via pallas interpret mode; the
+compiled path is exercised on TPU by bench.py / standalone scripts.
+"""
+import gzip as stdgzip
+import struct
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from libflate_tpu.formats import pgzf
+
+
+@pytest.fixture()
+def sync_interpret(monkeypatch):
+    monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+    yield
+
+
+def _corpus(n, seed=7):
+    rng = np.random.default_rng(seed)
+    words = [bytes(rng.integers(97, 123, rng.integers(3, 10),
+                                dtype=np.uint8)) for _ in range(400)]
+    return b"\n".join(words[int(i)] for i in
+                      rng.zipf(1.4, n // 3) % 400)[:n]
+
+
+class TestSyncKernel:
+    def test_tokens_match_tokenizer(self, sync_interpret):
+        """Kernel tokens == the device tokenizer's, chunk by chunk."""
+        from libflate_tpu.ops import pallas_sync_decode as psd
+        from libflate_tpu.ops.deflate_encode import splice_blocks_host
+        from libflate_tpu.ops.huffman import decode_table
+        from libflate_tpu.ops.pipeline import (_encode_batch_sync,
+                                               _shared_stats,
+                                               _tokenize_batch)
+        K = 32
+        B = 4
+        member = 2048
+        data = _corpus(B * member)
+        blocks = np.zeros((B, member), np.uint8)
+        n_valid = np.zeros((B,), np.int32)
+        for i in range(B):
+            chunk = data[i * member:(i + 1) * member]
+            blocks[i, :len(chunk)] = np.frombuffer(chunk, np.uint8)
+            n_valid[i] = len(chunk)
+        bfinal = np.ones((B,), np.int32)
+
+        words, bits, cnt, offs = map(np.asarray, _encode_batch_sync(
+            jnp.asarray(blocks), jnp.asarray(n_valid),
+            jnp.asarray(bfinal), K))
+        a, b, _ = map(np.asarray, _tokenize_batch(
+            jnp.asarray(blocks), jnp.asarray(n_valid)))
+        lit_l, dist_l, *_r = _shared_stats(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(cnt), 12)
+        lit_t = decode_table(jnp.asarray(lit_l), 12)
+        dist_t = decode_table(jnp.asarray(dist_l), 8)
+
+        all_offs, all_ext, all_cnt, spans = [], [], [], []
+        blob = bytearray()
+        for i in range(B):
+            body = splice_blocks_host(words[i:i + 1], bits[i:i + 1])
+            base = len(blob) * 8
+            blob += body
+            nc = -(-int(cnt[i]) // K)
+            for j in range(nc):
+                start = int(offs[i, j])
+                end = (int(offs[i, j + 1]) if (j + 1) * K <= int(cnt[i])
+                       else int(bits[i]))
+                all_offs.append(base + start)
+                all_ext.append(end - start)
+                all_cnt.append(min(K, int(cnt[i]) - j * K))
+            spans.append((i, nc))
+
+        need = int(max(e + (o & 31) for o, e in
+                       zip(all_offs, all_ext)) + 64 + 31) // 32 + 1
+        d = max(8, -(-need // 4) * 4)
+        staged, sb = psd.stage_chunks(bytes(blob),
+                                      np.asarray(all_offs, np.int64),
+                                      np.asarray(all_ext, np.int64), d)
+        counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
+        counts[:len(all_cnt)] = all_cnt
+        counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
+        out = np.asarray(psd.sync_decode(
+            jnp.asarray(staged), jnp.asarray(sb), jnp.asarray(counts),
+            lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), d_k := K))
+        toks = psd.gather_tokens(out, len(all_offs), K)
+
+        s = 0
+        for i, nc in spans:
+            flat = toks[s:s + nc].reshape(-1)[:int(cnt[i])]
+            np.testing.assert_array_equal(flat & 511, a[i, :int(cnt[i])])
+            np.testing.assert_array_equal(flat >> 9, b[i, :int(cnt[i])])
+            s += nc
+
+
+class TestSyncContainer:
+    def test_roundtrip_and_stock_gzip(self, sync_interpret):
+        data = _corpus(200000) + bytes(
+            np.random.default_rng(1).integers(0, 256, 40000,
+                                              dtype=np.uint8))
+        stream = pgzf.compress(data, member_size=32768, engine="tpu")
+        # 100% stock-gzip readable (LS rides the standard FEXTRA)
+        assert stdgzip.decompress(stream) == data
+        # sync path decodes
+        refs = pgzf.index_members(stream)
+        assert pgzf._decompress_sync_device(stream, refs, True) == data
+        # dispatcher routes to it
+        assert pgzf.decompress(stream, engine="tpu") == data
+        # other engines also decode it
+        assert pgzf.decompress(stream, engine="native") == data
+
+    def test_ls_subfield_parse(self, sync_interpret):
+        data = _corpus(100000)
+        stream = pgzf.compress(data, member_size=32768, engine="tpu")
+        from libflate_tpu.formats import gzip as fgzip
+        hdr, _ = fgzip.Header.decode(stream, 0)
+        info = pgzf._parse_sync(hdr)
+        assert info is not None
+        k, n_tokens, first_bit, n_chunks, deltas = info
+        assert k == 256 and n_tokens > 0
+        assert n_chunks == -(-n_tokens // k)
+        assert len(deltas) == n_chunks - 1
+        assert (np.asarray(deltas) > 0).all()
+
+    def test_corrupt_sync_index_falls_back_or_raises(self, sync_interpret):
+        data = _corpus(100000)
+        stream = bytearray(pgzf.compress(data, member_size=32768,
+                                         engine="tpu"))
+        # flip a delta byte inside the first LS subfield: CRC must catch
+        from libflate_tpu.formats import gzip as fgzip
+        hdr, body = fgzip.Header.decode(bytes(stream), 0)
+        # LS payload sits right before body: locate by id scan
+        ls_pos = bytes(stream).find(b"LS", 0, body)
+        assert ls_pos > 0
+        stream[ls_pos + 2 + 2 + 14] ^= 0x40
+        refs = pgzf.index_members(bytes(stream))
+        with pytest.raises(Exception):
+            out = pgzf._decompress_sync_device(bytes(stream), refs, True)
+            assert out != data  # pragma: no cover - must raise above
+
+    def test_native_stream_without_ls_falls_back(self, sync_interpret):
+        native = pytest.importorskip("libflate_tpu.native")
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        data = _corpus(100000)
+        stream = pgzf.compress(data, member_size=32768, engine="native")
+        refs = pgzf.index_members(stream)
+        with pytest.raises(ImportError):
+            pgzf._decompress_sync_device(stream, refs, True)
+        assert pgzf.decompress(stream, engine="tpu") == data
