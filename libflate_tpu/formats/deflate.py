@@ -9,7 +9,7 @@ import io
 
 from .. import backend as _backend
 from ..serial.deflate import DeflateError, EncodeOptions, InflateResult
-from ..spec.constants import DEFAULT_BLOCK_SIZE
+from ..spec.constants import DEFAULT_BLOCK_SIZE, MAX_STORED_BLOCK
 
 __all__ = ["DeflateError", "EncodeOptions", "InflateResult",
            "DEFAULT_BLOCK_SIZE", "compress", "decompress",
@@ -27,28 +27,100 @@ def decompress(data: bytes, engine: str | None = None) -> bytes:
     return bytes(_backend.get(engine).inflate(data).data)
 
 
+class BlockStreamer:
+    """Incremental DEFLATE block emitter with O(block_size) memory.
+
+    Buffers at most one block of input; once more than ``block_size``
+    bytes are pending, completed blocks are entropy-coded and their
+    finished bytes drained immediately (parity: Block::write flushing
+    complete blocks while data streams in —
+    src/deflate/encode.rs:277-295).  Output is byte-identical to the
+    one-shot serial ``deflate()`` for any write chunking, because both
+    split input at the same block boundaries and reset LZ77 state per
+    block.
+    """
+
+    def __init__(self, options: EncodeOptions | None = None) -> None:
+        from ..serial.bitio import BitWriter
+        self._opts = options or EncodeOptions()
+        self._w = BitWriter()
+        self._pending = bytearray()
+
+    def feed(self, data: bytes) -> bytes:
+        """Absorb input; return whatever compressed bytes completed."""
+        from ..serial.deflate import _write_compressed, _write_stored
+        self._pending += data
+        bs = (MAX_STORED_BLOCK if self._opts.block_type == "stored"
+              else self._opts.block_size)
+        while len(self._pending) > bs:
+            chunk = bytes(self._pending[:bs])
+            del self._pending[:bs]
+            if self._opts.block_type == "stored":
+                _write_stored(self._w, chunk, final=False)
+            else:
+                _write_compressed(self._w, self._opts.tokenize(chunk),
+                                  self._opts.block_type == "dynamic",
+                                  final=False)
+        return self._w.take_bytes()
+
+    def sync_flush(self) -> bytes:
+        """Emit pending input as non-final blocks + the sync marker."""
+        from ..serial.deflate import (_write_compressed, _write_stored,
+                                      sync_flush_marker)
+        chunk = bytes(self._pending)
+        self._pending.clear()
+        if chunk:
+            if self._opts.block_type == "stored":
+                _write_stored(self._w, chunk, final=False)
+            else:
+                _write_compressed(self._w, self._opts.tokenize(chunk),
+                                  self._opts.block_type == "dynamic",
+                                  final=False)
+        sync_flush_marker(self._w)
+        return self._w.take_bytes()
+
+    def finish(self) -> bytes:
+        """Emit the remainder as the final block; byte-aligns the tail."""
+        from ..serial.deflate import _write_compressed, _write_stored
+        chunk = bytes(self._pending)
+        self._pending.clear()
+        if self._opts.block_type == "stored":
+            _write_stored(self._w, chunk, final=True)
+        else:
+            _write_compressed(self._w, self._opts.tokenize(chunk),
+                              self._opts.block_type == "dynamic",
+                              final=True)
+        self._w.align_byte()
+        return self._w.take_bytes()
+
+
 class Encoder:
-    """Streaming façade (parity: deflate::Encoder src/deflate/encode.rs)."""
+    """Streaming encoder (parity: deflate::Encoder src/deflate/encode.rs).
+
+    Unlike round 1's buffer-all façade, writes stream through
+    :class:`BlockStreamer`: a 1 GiB input is encoded in O(block_size)
+    memory, and the output byte-matches the one-shot ``compress()``.
+    """
 
     def __init__(self, sink=None, options: EncodeOptions | None = None,
                  engine: str | None = None) -> None:
         self._sink = sink if sink is not None else io.BytesIO()
-        self._buf = bytearray()
-        self._options = options
-        self._engine = engine
+        self._streamer = BlockStreamer(options)
+        del engine  # block streaming is host-side; kept for API compat
         self._finished = False
 
     def write(self, data: bytes) -> int:
         if self._finished:
             raise ValueError("write after finish")
-        self._buf += data
+        out = self._streamer.feed(bytes(data))
+        if out:
+            self._sink.write(out)
         return len(data)
 
     def finish(self):
         if not self._finished:
             self._finished = True
-            self._sink.write(compress(bytes(self._buf), self._options,
-                                      self._engine))
+            self._sink.write(self._streamer.finish())
         return self._sink
 
     def getvalue(self) -> bytes:

@@ -378,33 +378,55 @@ def decompress_members(data: bytes, engine: str | None = None) -> list[Member]:
 class Encoder:
     """Streaming gzip encoder over a file-like or bytes sink.
 
-    Collects writes, runs the array pipeline at ``finish()``.  Matches the
-    reference Encoder's surface (write/finish, header options —
-    src/gzip.rs:754-908) without its per-call streaming internals, which
-    do not map to a TPU execution model.
+    Writes stream through deflate.BlockStreamer: completed blocks are
+    emitted as soon as ``block_size`` bytes accumulate, so arbitrarily
+    large inputs encode in O(block_size) memory while CRC/ISIZE are
+    tracked incrementally (parity: gzip::Encoder's per-call streaming —
+    src/gzip.rs:754-908).
     """
 
     def __init__(self, sink=None, options=None, header: Header | None = None,
                  engine: str | None = None) -> None:
         self._sink = sink if sink is not None else io.BytesIO()
-        self._buf = bytearray()
-        self._options = options
-        self._header = header or Header(mtime=0)
         self._engine = engine
         self._finished = False
+        if options is not None and not isinstance(options, EncodeOptions):
+            deflate_opts = options          # raw serial EncodeOptions
+            self._header = header or Header(mtime=0)
+        else:
+            gz_opts = options or EncodeOptions()
+            deflate_opts = gz_opts.deflate_options
+            self._header = gz_opts.header(header or Header(mtime=0))
+        from .deflate import BlockStreamer
+        self._streamer = BlockStreamer(deflate_opts)
+        self._crc = 0
+        self._isize = 0
+        self._header_written = False
+
+    def _ensure_header(self) -> None:
+        if not self._header_written:
+            self._header_written = True
+            self._sink.write(self._header.encode())
 
     def write(self, data: bytes) -> int:
         if self._finished:
             raise ValueError("write after finish")
-        self._buf += data
+        self._ensure_header()
+        data = bytes(data)
+        eng = _backend.get(self._engine)
+        self._crc = eng.crc32(data, self._crc)
+        self._isize += len(data)
+        out = self._streamer.feed(data)
+        if out:
+            self._sink.write(out)
         return len(data)
 
     def finish(self):
         if not self._finished:
             self._finished = True
-            out = compress(bytes(self._buf), self._options, self._header,
-                           self._engine)
-            self._sink.write(out)
+            self._ensure_header()
+            self._sink.write(self._streamer.finish())
+            self._sink.write(Trailer(self._crc, self._isize).encode())
         return self._sink
 
     def getvalue(self) -> bytes:

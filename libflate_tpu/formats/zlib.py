@@ -14,8 +14,6 @@ from dataclasses import dataclass
 
 from .. import backend as _backend
 from ..spec import constants as C
-from ..serial.bitio import BitWriter
-from ..serial.deflate import sync_flush_marker
 
 
 class ZlibError(ValueError):
@@ -154,16 +152,15 @@ class Encoder:
     def __init__(self, sink=None, options=None, header: Header | None = None,
                  flush_mode: FlushMode = FlushMode.NONE,
                  engine: str | None = None) -> None:
+        from .deflate import BlockStreamer
         self._sink = sink if sink is not None else io.BytesIO()
-        self._buf = bytearray()
-        self._options = options
+        self._streamer = BlockStreamer(options)
         self._flush_mode = flush_mode
         self._engine = engine
         self._finished = False
         self._header_written = False
         self._header = header or Header()
         self._adler = 1
-        self._segments: list[bytes] = []
 
     def _ensure_header(self) -> None:
         if not self._header_written:
@@ -171,9 +168,17 @@ class Encoder:
             self._header_written = True
 
     def write(self, data: bytes) -> int:
+        """Absorb input, streaming out any completed blocks (O(block)
+        memory for arbitrarily large inputs)."""
         if self._finished:
             raise ValueError("write after finish")
-        self._buf += data
+        self._ensure_header()
+        data = bytes(data)
+        eng = _backend.get(self._engine)
+        self._adler = eng.adler32(data, self._adler)
+        out = self._streamer.feed(data)
+        if out:
+            self._sink.write(out)
         return len(data)
 
     def flush(self) -> None:
@@ -181,63 +186,19 @@ class Encoder:
         if self._flush_mode is not FlushMode.SYNC or self._finished:
             return
         self._ensure_header()
-        eng = _backend.get(self._engine)
-        data = bytes(self._buf)
-        self._buf.clear()
-        self._adler = eng.adler32(data, self._adler)
-        self._sink.write(_deflate_nonfinal(eng, data, self._options))
+        self._sink.write(self._streamer.sync_flush())
 
     def finish(self):
         if not self._finished:
             self._finished = True
             self._ensure_header()
-            eng = _backend.get(self._engine)
-            data = bytes(self._buf)
-            self._adler = eng.adler32(data, self._adler)
-            body = eng.deflate(data, self._options)
-            self._sink.write(bytes(body) + struct.pack(">I", self._adler))
+            self._sink.write(self._streamer.finish())
+            self._sink.write(struct.pack(">I", self._adler))
         return self._sink
 
     def getvalue(self) -> bytes:
         self.finish()
         return self._sink.getvalue()
-
-
-def _deflate_nonfinal(eng, data: bytes, options) -> bytes:
-    """Compress ``data`` as non-final DEFLATE blocks + a sync-flush marker.
-
-    The marker shares the body's bit writer: the empty stored block's
-    3 header bits must directly follow the last body bit, and its own
-    byte-alignment guarantees the returned segment ends on a byte
-    boundary, so sync-flushed segments concatenate into one valid stream.
-    """
-    del eng  # the flush path is host-side; serial blocks are fine here
-    from ..serial.bitio import BitWriter as _BW
-    from ..serial.deflate import EncodeOptions, _write_compressed
-    opts = options or EncodeOptions()
-    w = _BW()
-    if opts.block_type == "stored":
-        pos = 0
-        while pos < len(data):
-            chunk = data[pos:pos + C.MAX_STORED_BLOCK]
-            pos += len(chunk)
-            w.write_bits(0, 1)
-            w.write_bits(C.BTYPE_STORED, 2)
-            w.align_byte()
-            ln = len(chunk)
-            w.write_bits(ln, 16)
-            w.write_bits(ln ^ 0xFFFF, 16)
-            w.write_bytes(chunk)
-    else:
-        pos = 0
-        while pos < len(data):
-            chunk = data[pos:pos + opts.block_size]
-            pos += len(chunk)
-            tokens = opts.tokenize(chunk)
-            _write_compressed(w, tokens, opts.block_type == "dynamic",
-                              final=False)
-    sync_flush_marker(w)
-    return w.getvalue()
 
 
 class Decoder:

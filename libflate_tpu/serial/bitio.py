@@ -63,6 +63,17 @@ class BitWriter:
         self.align_byte()
         return bytes(self._out)
 
+    def take_bytes(self) -> bytes:
+        """Drain completed whole bytes; the sub-byte remainder stays.
+
+        Lets streaming encoders emit finished blocks incrementally while
+        the bit cursor continues mid-byte (reference parity: the
+        encoder's inner BitWriter flushes to its sink as blocks
+        complete — src/deflate/encode.rs:277-295)."""
+        out = bytes(self._out)
+        self._out.clear()
+        return out
+
 
 class BitReader:
     """Reads bits LSB-first from a byte buffer with a snapshotable cursor."""

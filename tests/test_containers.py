@@ -214,3 +214,72 @@ class TestDeflateFormat:
             dec.read()
         # partial output was salvaged
         assert dec.unread_decoded_data().startswith(b"hello ")
+
+
+class TestStreamingEncoders:
+    """Incremental encode: O(block) memory, byte-identity with one-shot
+    (parity: Block::write flushing complete blocks —
+    reference src/deflate/encode.rs:277-295)."""
+
+    def test_deflate_streaming_matches_oneshot(self):
+        import numpy as np
+        from libflate_tpu.formats import deflate
+        rng = np.random.default_rng(11)
+        data = bytes(rng.integers(0, 64, 300000, dtype=np.uint8))
+        opts = deflate.EncodeOptions(block_size=65536)
+        oneshot = deflate.compress(data, options=opts, engine="serial")
+        for sizes in ([1, 7, 1000, 65536, 131072, 99999],
+                      [300000], [65536] * 5):
+            enc = deflate.Encoder(options=opts)
+            pos = 0
+            for s in sizes:
+                enc.write(data[pos:pos + s])
+                pos += s
+            enc.write(data[pos:])
+            assert enc.getvalue() == oneshot
+
+    def test_streaming_emits_before_finish(self):
+        """Completed blocks leave the encoder while writes continue."""
+        import io
+        from libflate_tpu.formats import deflate
+        sink = io.BytesIO()
+        enc = deflate.Encoder(sink, deflate.EncodeOptions(block_size=4096))
+        enc.write(b"streaming block " * 2048)       # 32 KiB
+        assert sink.tell() > 0                      # flushed mid-stream
+        enc.finish()
+
+    def test_streaming_memory_stays_bounded(self):
+        from libflate_tpu.formats.deflate import BlockStreamer, EncodeOptions
+        st = BlockStreamer(EncodeOptions(block_size=4096))
+        for _ in range(100):
+            st.feed(b"x" * 4096)
+            assert len(st._pending) <= 4096
+        st.finish()
+
+    def test_gzip_streaming_roundtrip(self):
+        import gzip as stdgzip
+        import numpy as np
+        from libflate_tpu.formats import gzip as lf_gzip
+        rng = np.random.default_rng(12)
+        data = bytes(rng.integers(0, 32, 200000, dtype=np.uint8))
+        enc = lf_gzip.Encoder()
+        for i in range(0, len(data), 30000):
+            enc.write(data[i:i + 30000])
+        out = enc.getvalue()
+        assert stdgzip.decompress(out) == data
+        assert lf_gzip.decompress(out) == data
+
+    def test_zlib_streaming_sync_flush_roundtrip(self):
+        import zlib as pyzlib
+        from libflate_tpu.formats import zlib as lf_zlib
+        enc = lf_zlib.Encoder(flush_mode=lf_zlib.FlushMode.SYNC)
+        enc.write(b"first segment " * 1000)
+        enc.flush()
+        mid = enc._sink.getvalue()
+        # a sync-flushed prefix decodes with stdlib up to the marker
+        d = pyzlib.decompressobj()
+        assert d.decompress(mid) == b"first segment " * 1000
+        enc.write(b"second segment " * 1000)
+        out = enc.getvalue()
+        assert pyzlib.decompress(out) == (b"first segment " * 1000
+                                          + b"second segment " * 1000)
