@@ -69,6 +69,27 @@ def _sync_payload(k: int, n_tokens: int, offsets: np.ndarray) -> bytes:
             + deltas.tobytes())
 
 
+def _tracer():
+    """StageTimer when LIBFLATE_TRACE is set (utils.profiling); else None."""
+    import os
+    if not os.environ.get("LIBFLATE_TRACE"):
+        return None
+    from ..utils.profiling import StageTimer
+    return StageTimer()
+
+
+def _maybe_stage(timer, name: str):
+    import contextlib
+    return timer.stage(name) if timer else contextlib.nullcontext()
+
+
+def _trace_report(timer, label: str) -> None:
+    if timer:
+        import sys
+        print(f"[libflate-trace] {label}\n{timer.report()}",
+              file=sys.stderr, flush=True)
+
+
 def _parse_sync(hdr: "fgzip.Header"):
     """Parse an LS subfield; None when absent/foreign/malformed."""
     if hdr.extra is None:
@@ -394,15 +415,17 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
             and not os.environ.get("LIBFLATE_PALLAS_INTERPRET")):
         raise ImportError("sync kernel needs a TPU backend")
 
+    timer = _tracer()
     bsz = len(refs)
     isizes = np.zeros((bsz,), np.int64)
     crcs_expected = np.zeros((bsz,), np.uint32)
     syncs: list = [None] * bsz
-    for i, ref in enumerate(refs):
-        crcs_expected[i], isizes[i] = struct.unpack_from(
-            "<II", data, ref.end - 8)
-        hdr, _body = fgzip.Header.decode(data, ref.start)
-        syncs[i] = _parse_sync(hdr)
+    with _maybe_stage(timer, "header+ls parse"):
+        for i, ref in enumerate(refs):
+            crcs_expected[i], isizes[i] = struct.unpack_from(
+                "<II", data, ref.end - 8)
+            hdr, _body = fgzip.Header.decode(data, ref.start)
+            syncs[i] = _parse_sync(hdr)
     if not any(s is not None for s in syncs):
         raise ImportError("no sync index present")
 
@@ -503,7 +526,8 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
         offs_arr = np.asarray(chunk_offs, np.int64)
         need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
         d_words = max(32, -(-need // 32) * 32)
-        staged, sb = psd.stage_chunks(data, offs_arr, ext, d_words)
+        with _maybe_stage(timer, "host staging"):
+            staged, sb = psd.stage_chunks(data, offs_arr, ext, d_words)
         s_n = len(chunk_offs)
         counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
         counts[:s_n] = chunk_cnt
@@ -512,10 +536,12 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
         lit_t = decode_table(
             jnp.asarray(lit_ls[group[0]][:C.MAX_LITLEN_SYMBOLS]), 12)
         dist_t = decode_table(jnp.asarray(dist_ls[group[0]]), 8)
-        out = np.asarray(psd.sync_decode(
-            jnp.asarray(staged), jnp.asarray(sb), jnp.asarray(counts),
-            lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), k_tok))
-        toks = psd.gather_tokens(out, s_n, k_tok)
+        with _maybe_stage(timer, "kernel+D2H"):
+            out = np.asarray(psd.sync_decode(
+                jnp.asarray(staged), jnp.asarray(sb), jnp.asarray(counts),
+                lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), k_tok))
+        with _maybe_stage(timer, "token gather"):
+            toks = psd.gather_tokens(out, s_n, k_tok)
         for i, s0, nc in member_span:
             n_tokens = int(syncs[i][1])
             member_toks[i] = toks[s0:s0 + nc].reshape(-1)[:n_tokens]
@@ -532,7 +558,8 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
         cnt64[kk] = len(t)
         sizes[kk] = isizes[i]
     if native.available():
-        blob, crcs = native.expand_batch(arr, None, cnt64, sizes)
+        with _maybe_stage(timer, "native expand+crc"):
+            blob, crcs = native.expand_batch(arr, None, cnt64, sizes)
         pos = 0
         for kk, i in enumerate(dev_idx):
             pieces[i] = blob[pos:pos + int(sizes[kk])]
@@ -566,6 +593,7 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
             if eng_crc(piece) != int(crcs_expected[i]):
                 raise GzipError(f"gzip CRC mismatch in member {i}")
 
+    _trace_report(timer, "sync decode")
     return b"".join(pieces)  # type: ignore[arg-type]
 
 
