@@ -421,6 +421,126 @@ static bool build_table32(const int32_t* lengths, int n, uint32_t* table,
 }
 
 
+// ---------------------------------------------------------------------------
+// Two-level (root + sub) decode tables, libdeflate/zlib style.
+// A 2^15 single-level table (128 KiB) blows L1 and its per-member
+// memset+fill dominates small-member decode; a 10-bit root (4 KiB)
+// stays L1-resident and builds ~16x faster.  Long codes (> root_bits,
+// rare by canonical construction) indirect through subtables appended
+// after the root in the same buffer.
+//   pointer entry: bit5 (0x20) | root_bits | subbits<<8 | sub_base<<16
+//   (bit 5 is unused by every direct entry: width occupies bits 0-4,
+//   extra-count bits 8-11, base/byte bits 16+, flags bits 29-31)
+// Returns entries used (root+subs), or -1 on an invalid code set.
+// ---------------------------------------------------------------------------
+static int build_table2l(const int32_t* lengths, int n, uint32_t* table,
+                         int root_bits, bool is_dist) {
+    int counts[16] = {0};
+    int lmax = 0;
+    for (int i = 0; i < n; i++) {
+        int l = lengths[i];
+        if (l < 0 || l > 15) return -1;
+        if (l) { counts[l]++; if (l > lmax) lmax = l; }
+    }
+    if (lmax <= root_bits) root_bits = lmax > 0 ? lmax : 1;
+    int firsts[16]; int code = 0; long total = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code + counts[l-1]) << 1;
+        firsts[l] = code;
+        total += (long)counts[l] << (15 - l);
+    }
+    if (total > (1L << 15)) return -1;             // oversubscribed
+    const int root_n = 1 << root_bits;
+    memset(table, 0, sizeof(uint32_t) * root_n);
+    int sub_next = root_n;
+
+    // pass 1: per-root-prefix max length -> allocate subtables
+    if (lmax > root_bits) {
+        static thread_local uint8_t submax[1 << 12];
+        memset(submax, 0, root_n);
+        int next1[16]; memcpy(next1, firsts, sizeof(next1));
+        for (int s = 0; s < n; s++) {
+            int l = lengths[s];
+            if (l <= root_bits) { if (l) next1[l]++; continue; }
+            int c = next1[l]++;
+            int rev = 0, cc = c;
+            for (int k = 0; k < l; k++) { rev = (rev << 1) | (cc & 1); cc >>= 1; }
+            int prefix = rev & (root_n - 1);
+            if (l - root_bits > submax[prefix]) submax[prefix] = (uint8_t)(l - root_bits);
+        }
+        for (int p = 0; p < root_n; p++) {
+            if (!submax[p]) continue;
+            int subbits = submax[p];
+            memset(table + sub_next, 0, sizeof(uint32_t) << subbits);
+            table[p] = 0x20u | (uint32_t)root_bits
+                     | ((uint32_t)subbits << 8)
+                     | ((uint32_t)sub_next << 16);
+            sub_next += 1 << subbits;
+            if (sub_next > (1 << 15)) return -1;
+        }
+    }
+
+    // pass 2: fill direct + sub entries
+    int next2[16]; memcpy(next2, firsts, sizeof(next2));
+    for (int s = 0; s < n; s++) {
+        int l = lengths[s];
+        if (!l) continue;
+        int c = next2[l]++;
+        int rev = 0, cc = c;
+        for (int k = 0; k < l; k++) { rev = (rev << 1) | (cc & 1); cc >>= 1; }
+        int w = l <= root_bits ? l : l - root_bits;
+        uint32_t v;
+        if (is_dist) {
+            v = (DIST_BASE[s] << 16) | ((uint32_t)DIST_EXTRA[s] << 8) | w;
+        } else if (s < 256) {
+            v = 0x80000000u | ((uint32_t)s << 16) | w;
+        } else if (s == 256) {
+            v = 0x40000000u | w;
+        } else if (s <= 285) {
+            v = ((uint32_t)LEN_BASE[s-257] << 16)
+              | ((uint32_t)LEN_EXTRA[s-257] << 8) | w;
+        } else {
+            v = 0x20000000u | w;
+        }
+        if (l <= root_bits) {
+            for (int idx = rev; idx < root_n; idx += (1 << l))
+                table[idx] = v;
+        } else {
+            int prefix = rev & (root_n - 1);
+            uint32_t pe = table[prefix];
+            int subbits = (pe >> 8) & 15;
+            int base = (int)(pe >> 16);
+            for (int idx = rev >> root_bits; idx < (1 << subbits);
+                 idx += (1 << (l - root_bits)))
+                table[base + idx] = v;
+        }
+    }
+    return sub_next;
+}
+
+// build with the best single/two-level layout; *bits_out = root mask bits
+static bool build_table_auto(const int32_t* lengths, int n, uint32_t* table,
+                             int max_root, bool is_dist, int* bits_out) {
+    int lmax = 1;
+    for (int i = 0; i < n; i++) if (lengths[i] > lmax) lmax = lengths[i];
+    if (lmax <= max_root) {
+        *bits_out = lmax;
+        return build_table32(lengths, n, table, lmax, is_dist);
+    }
+    *bits_out = max_root;
+    return build_table2l(lengths, n, table, max_root, is_dist) >= 0;
+}
+
+// resolve a level-2 pointer entry (no-op for direct entries is the
+// caller's branch; this consumes the subtable bits)
+#define RESOLVE2(e, tbl, b) \
+    if (__builtin_expect((e) & 0x20u, 0)) { \
+        uint32_t sb_ = ((e) >> 8) & 15u; \
+        (e) = (tbl)[((e) >> 16) + ((uint32_t)(b).acc & ((1u << sb_) - 1))]; \
+        (b).acc >>= ((e) & 31); (b).nbits -= ((e) & 31); \
+    }
+
+
 static void fixed_lit_lengths(int32_t* l) {
     for (int i = 0; i < 144; i++) l[i] = 8;
     for (int i = 144; i < 256; i++) l[i] = 9;
@@ -498,14 +618,17 @@ static int decode_huff_block(BitIn* bp, const uint32_t* lit_table_, int lit_bits
         bi_fill(&b);
         uint32_t e = lit_table_[(uint32_t)b.acc & lit_mask];
         b.acc >>= (e & 31); b.nbits -= (e & 31);
+        RESOLVE2(e, lit_table_, b);
         if ((int32_t)e < 0) {
             dst[o++] = (uint8_t)(e >> 16);
             e = lit_table_[(uint32_t)b.acc & lit_mask];
             b.acc >>= (e & 31); b.nbits -= (e & 31);
+            RESOLVE2(e, lit_table_, b);
             if ((int32_t)e < 0) {
                 dst[o++] = (uint8_t)(e >> 16);
                 e = lit_table_[(uint32_t)b.acc & lit_mask];
                 b.acc >>= (e & 31); b.nbits -= (e & 31);
+                RESOLVE2(e, lit_table_, b);
                 if ((int32_t)e < 0) { dst[o++] = (uint8_t)(e >> 16); continue; }
             }
         }
@@ -521,8 +644,9 @@ static int decode_huff_block(BitIn* bp, const uint32_t* lit_table_, int lit_bits
             b.acc >>= le; b.nbits -= le;
             bi_fill(&b);           // distance code + extras <= 28 bits
             uint32_t de = dist_table_[(uint32_t)b.acc & dist_mask];
-            if (!de) return -3;
             b.acc >>= (de & 31); b.nbits -= (de & 31);
+            RESOLVE2(de, dist_table_, b);
+            if (!de) return -3;
             uint32_t dxe = (de >> 8) & 15;
             uint32_t dist = (de >> 16) +
                 ((uint32_t)b.acc & ((1u << dxe) - 1));
@@ -562,6 +686,15 @@ static int decode_huff_block(BitIn* bp, const uint32_t* lit_table_, int lit_bits
         int w = e & 31;
         if (b.nbits < w) return -1;
         b.acc >>= w; b.nbits -= w;
+        if (e & 0x20u) {               // two-level: long literal code
+            uint32_t sb_ = (e >> 8) & 15u;
+            e = lit_table_[(e >> 16) +
+                           ((uint32_t)b.acc & ((1u << sb_) - 1))];
+            if (!e) return -3;
+            w = e & 31;
+            if (b.nbits < w) return -1;
+            b.acc >>= w; b.nbits -= w;
+        }
         if ((int32_t)e < 0) {
             if (o >= cap) return -8;
             dst[o++] = (uint8_t)(e >> 16);
@@ -578,6 +711,14 @@ static int decode_huff_block(BitIn* bp, const uint32_t* lit_table_, int lit_bits
             if (!de) return -3;
             int dw = de & 31;
             b.acc >>= dw; b.nbits -= dw;
+            if (de & 0x20u) {          // two-level: long distance code
+                uint32_t sb_ = (de >> 8) & 15u;
+                de = dist_table_[(de >> 16) +
+                                 ((uint32_t)b.acc & ((1u << sb_) - 1))];
+                if (!de) return -3;
+                dw = de & 31;
+                b.acc >>= dw; b.nbits -= dw;
+            }
             uint32_t dxe = (de >> 8) & 15;
             uint32_t dist = (de >> 16) +
                 ((uint32_t)b.acc & ((1u << dxe) - 1));
@@ -624,14 +765,17 @@ static inline void dual_step(DualSt* s, const uint32_t* lit_t, uint32_t lit_mask
     uint64_t o = s->o;
     uint32_t e = lit_t[(uint32_t)b->acc & lit_mask];
     b->acc >>= (e & 31); b->nbits -= (e & 31);
+    RESOLVE2(e, lit_t, *b);
     if ((int32_t)e < 0) {
         dst[o++] = (uint8_t)(e >> 16);
         e = lit_t[(uint32_t)b->acc & lit_mask];
         b->acc >>= (e & 31); b->nbits -= (e & 31);
+        RESOLVE2(e, lit_t, *b);
         if ((int32_t)e < 0) {
             dst[o++] = (uint8_t)(e >> 16);
             e = lit_t[(uint32_t)b->acc & lit_mask];
             b->acc >>= (e & 31); b->nbits -= (e & 31);
+            RESOLVE2(e, lit_t, *b);
             if ((int32_t)e < 0) { dst[o++] = (uint8_t)(e >> 16); s->o = o; return; }
         }
     }
@@ -646,8 +790,9 @@ static inline void dual_step(DualSt* s, const uint32_t* lit_t, uint32_t lit_mask
     b->acc >>= le; b->nbits -= le;
     bi_fill(b);                          // distance code + extras <= 28 bits
     uint32_t de = dist_t[(uint32_t)b->acc & dist_mask];
-    if (!de) { s->state = -3; return; }
     b->acc >>= (de & 31); b->nbits -= (de & 31);
+    RESOLVE2(de, dist_t, *b);
+    if (!de) { s->state = -3; return; }
     uint32_t dxe = (de >> 8) & 15;
     uint32_t dist = (de >> 16) + ((uint32_t)b->acc & ((1u << dxe) - 1));
     b->acc >>= dxe; b->nbits -= dxe;
@@ -690,18 +835,15 @@ static int pair_setup(const uint8_t* src, uint64_t n, BitIn* b,
     int rc = parse_dyn_header(b, ll, dl);
     if (rc) return rc;
     bool any_dist = false;
-    int lmax = 1, dmax = 1;
-    for (int i = 0; i < 286; i++) if (ll[i] > lmax) lmax = ll[i];
-    for (int i = 0; i < 30; i++) {
-        any_dist |= dl[i] != 0;
-        if (dl[i] > dmax) dmax = dl[i];
-    }
-    *lit_bits = lmax; *dist_bits = dmax;
-    if (!build_table32(ll, 286, lit_table, lmax, false)) return -3;
+    for (int i = 0; i < 30; i++) any_dist |= dl[i] != 0;
+    if (!build_table_auto(ll, 286, lit_table, 10, false, lit_bits))
+        return -3;
     if (any_dist) {
-        if (!build_table32(dl, 30, dist_table, dmax, true)) return -3;
+        if (!build_table_auto(dl, 30, dist_table, 9, true, dist_bits))
+            return -3;
     } else {
-        memset(dist_table, 0, sizeof(uint32_t) << dmax);
+        *dist_bits = 1;
+        memset(dist_table, 0, sizeof(uint32_t) << 1);
     }
     return 0;
 }
@@ -795,19 +937,19 @@ int lf_inflate(const uint8_t* src, uint64_t n, uint8_t* dst, uint64_t cap,
                 int rc = parse_dyn_header(&b, ll, dl);
                 if (rc) return rc;
                 bool any_dist = false;
-                int lmax = 1, dmax = 1;
-                for (int i = 0; i < 286; i++) if (ll[i] > lmax) lmax = ll[i];
-                for (int i = 0; i < 30; i++) {
-                    any_dist |= dl[i] != 0;
-                    if (dl[i] > dmax) dmax = dl[i];
-                }
-                // size tables to the actual max code length: building a
-                // 2^15 table per 64 KiB member would dominate decode time
-                lit_bits = lmax; dist_bits = dmax;
-                ok = build_table32(ll, 286, lit_table, lit_bits, false);
+                for (int i = 0; i < 30; i++) any_dist |= dl[i] != 0;
+                // two-level root+sub: the root stays L1-resident and a
+                // per-member build touches KiBs, not the 2^15 worst case
+                ok = build_table_auto(ll, 286, lit_table, 10, false,
+                                      &lit_bits);
                 if (ok) {
-                    if (any_dist) ok = build_table32(dl, 30, dist_table, dist_bits, true);
-                    else memset(dist_table, 0, sizeof(uint32_t) << dist_bits);
+                    if (any_dist)
+                        ok = build_table_auto(dl, 30, dist_table, 9, true,
+                                              &dist_bits);
+                    else {
+                        dist_bits = 1;
+                        memset(dist_table, 0, sizeof(uint32_t) << 1);
+                    }
                 }
             }
             if (!ok) return -3;
