@@ -108,45 +108,83 @@ def main() -> None:
         _log(f"native enc {gb / enc_t:.3f} dec {gb / dec_t:.3f} GB/s")
 
     # --- device (TPU) pipeline --------------------------------------------
-    # capped: first-time XLA compiles can exceed any reasonable budget,
-    # and the JSON line must be printed regardless
+    # Stage-scoped budgets: a blown stage records its own error and the
+    # remaining stages still run; the JSON line prints regardless.
+    # The .jax_cache (repo-local) holds the compiled shapes from dev
+    # runs, so the steady-state path is what gets measured.
     if engine != "native" and _device_ok():
+        import contextlib
         import signal
 
         def _alarm(signum, frame):
-            raise TimeoutError("device phase budget exceeded")
+            raise TimeoutError("stage budget exceeded")
 
-        budget = int(os.environ.get("BENCH_DEVICE_TIMEOUT", "240"))
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(budget)
-        try:
-            _log("device encode (compile + run)")
-            stream = pgzf.compress(data, member_size=member_size,
-                                   engine="tpu")
-            extra.setdefault("ratio", round(len(stream) / nbytes, 4))
+        @contextlib.contextmanager
+        def stage_budget(name, seconds):
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(seconds)
+            try:
+                yield
+            except Exception as e:                  # noqa: BLE001
+                _log(f"device {name} failed: {type(e).__name__}: {e}")
+                extra[f"device_{name}_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                signal.alarm(0)
+
+        enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "560"))
+        dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "120"))
+
+        stream_dev = None
+        with stage_budget("encode", enc_budget):
+            _log("device encode (compile-cached + run)")
+            stream_dev = pgzf.compress(data, member_size=member_size,
+                                       engine="tpu")
+            extra["device_ratio"] = round(len(stream_dev) / nbytes, 4)
             _, enc_t = time_best(lambda: pgzf.compress(
                 data, member_size=member_size, engine="tpu"))
-            _log(f"device encode {gb / enc_t:.3f} GB/s; device decode")
-            out, dec_t = time_best(lambda: pgzf.decompress(
-                stream, engine="tpu"))
-            assert out == data, "device round-trip mismatch"
-            results["tpu"] = (gb / enc_t, gb / dec_t)
-            _log(f"device enc {gb / enc_t:.3f} dec {gb / dec_t:.3f} GB/s")
-        except Exception as e:                      # noqa: BLE001
-            _log(f"device path failed: {type(e).__name__}: {e}")
-            extra["device_error"] = f"{type(e).__name__}: {e}"
-        finally:
-            signal.alarm(0)
+            results.setdefault("tpu", [None, None])
+            results["tpu"][0] = gb / enc_t
+            _log(f"device encode {gb / enc_t:.4f} GB/s")
+
+        if stream_dev is not None:
+            with stage_budget("decode", dec_budget):
+                _log("device decode (sync-indexed kernel path)")
+                out, dec_t = time_best(lambda: pgzf.decompress(
+                    stream_dev, engine="tpu"), repeats=3)
+                assert out == data, "device round-trip mismatch"
+                results.setdefault("tpu", [None, None])
+                results["tpu"][1] = gb / dec_t
+                _log(f"device decode {gb / dec_t:.4f} GB/s end-to-end "
+                     f"(D2H rides a ~40 MB/s tunnel in this container; "
+                     f"kernel-side measured separately)")
+
+            with stage_budget("kernel", dec_budget):
+                ker = _kernel_side_decode(stream_dev, nbytes)
+                if ker:
+                    extra.update(ker)
+                    _log(f"device kernel-side decode "
+                         f"{ker['device_decode_kernel_gbps']} GB/s "
+                         f"({ker['device_kernel_ms']} ms)")
+
+        if "tpu" in results and results["tpu"][1] is None:
+            # decode never produced a number: drop the entry so the
+            # headline picker below sees only complete results
+            enc_only = results.pop("tpu")[0]
+            if enc_only is not None:
+                extra["tpu_encode_gbps"] = round(enc_only, 4)
 
     if not results:
         raise SystemExit("no engine available to benchmark")
-    best = max(results, key=lambda k: results[k][1])
+    best = max(results, key=lambda k: results[k][1] or 0.0)
     value = results[best][1]
     extra["engine"] = best
-    extra["encode_gbps"] = round(results[best][0], 4)
+    if results[best][0] is not None:
+        extra["encode_gbps"] = round(results[best][0], 4)
     for name, (e_r, d_r) in results.items():
-        extra[f"{name}_encode_gbps"] = round(e_r, 4)
-        extra[f"{name}_decode_gbps"] = round(d_r, 4)
+        if e_r is not None:
+            extra[f"{name}_encode_gbps"] = round(e_r, 4)
+        if d_r is not None:
+            extra[f"{name}_decode_gbps"] = round(d_r, 4)
 
     baseline = 0.205   # libflate DEFLATE decode GB/s (BASELINE.md)
     print(json.dumps({
@@ -156,6 +194,99 @@ def main() -> None:
         "vs_baseline": round(value / baseline, 3),
         "extra": extra,
     }))
+
+
+def _kernel_side_decode(stream: bytes, nbytes: int):
+    """Time the sync decode kernel alone with device-resident inputs.
+
+    End-to-end device decode in this container is capped by the ~40 MB/s
+    axon D2H tunnel (an environment artifact: production PCIe/ICI moves
+    the same tokens 2-3 orders of magnitude faster, and decompress-into-
+    training-batch pipelines never leave the device).  The kernel-side
+    number is output bytes / decode-kernel wall time with inputs already
+    staged on device and completion forced via a scalar D2H read.
+    """
+    import struct as _s
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libflate_tpu import native
+    from libflate_tpu.formats import gzip as fgzip, pgzf
+    from libflate_tpu.ops import pallas_sync_decode as psd
+    from libflate_tpu.ops.huffman import decode_table
+
+    refs = pgzf.index_members(stream)
+    if refs is None or not native.available():
+        return None
+    syncs = []
+    for r in refs:
+        hdr, _ = fgzip.Header.decode(stream, r.start)
+        syncs.append(pgzf._parse_sync(hdr))
+    bodies = b"".join(stream[r.body:r.end - 8] for r in refs)
+    offs_b = np.zeros(len(refs) + 1, np.uint64)
+    for i, r in enumerate(refs):
+        offs_b[i + 1] = offs_b[i] + (r.end - 8 - r.body)
+    lit_ls, dist_ls, _st, flags = native.parse_dyn_headers(bodies, offs_b)
+
+    k_tok = next((s[0] for s in syncs if s), None)
+    if k_tok is None:
+        return None
+    all_offs, all_ext, all_cnt = [], [], []
+    for i, r in enumerate(refs):
+        if syncs[i] is None or flags[i] != 5:
+            continue
+        _k, nt, fb, nc, deltas = syncs[i]
+        body_bits = (r.end - 8 - r.body) * 8
+        starts = np.zeros(nc, np.int64)
+        starts[0] = fb
+        if nc > 1:
+            starts[1:] = fb + np.cumsum(deltas.astype(np.int64))
+        ends = np.empty(nc, np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = body_bits
+        all_offs.extend((r.body * 8 + starts).tolist())
+        all_ext.extend((ends - starts).tolist())
+        all_cnt.extend(min(k_tok, nt - j * k_tok) for j in range(nc))
+    if not all_offs:
+        return None
+    ext = np.asarray(all_ext, np.int64)
+    offs_arr = np.asarray(all_offs, np.int64)
+    need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
+    d_words = max(32, -(-need // 32) * 32)
+    staged, sb = psd.stage_chunks(stream, offs_arr, ext, d_words)
+    counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
+    counts[:len(all_cnt)] = all_cnt
+    counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
+    lit_t = decode_table(jnp.asarray(lit_ls[0][:286]), 12).astype(jnp.int32)
+    dist_t = decode_table(jnp.asarray(dist_ls[0]), 8).astype(jnp.int32)
+
+    staged_d = jax.device_put(jnp.asarray(staged))
+    sb_d = jax.device_put(jnp.asarray(sb))
+    cnt_d = jax.device_put(jnp.asarray(counts))
+
+    def sync_read(x):
+        return np.asarray(x[0, 0, 0])   # force completion (axon: b_u_r
+        #                                 does not block; tiny D2H does)
+
+    out = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t, k_tok)
+    sync_read(out)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t, k_tok)
+        sync_read(out)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "device_decode_kernel_gbps": round(nbytes / 1e9 / best, 3),
+        "device_kernel_ms": round(best * 1000, 2),
+        "device_kernel_chunks": len(all_offs),
+        "device_kernel_note": (
+            "output bytes / sync-decode kernel time, inputs device-"
+            "resident; e2e is capped by the container's ~40 MB/s D2H "
+            "tunnel (environment artifact, see docs/ROADMAP.md)"),
+    }
 
 
 def _device_ok() -> bool:

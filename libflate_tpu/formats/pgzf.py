@@ -237,8 +237,14 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
             w, bts = _encode_batch(jnp.asarray(blocks[sl]),
                                    jnp.asarray(n_valid[sl]), bfinal_j,
                                    btype)
-        words_l.append(np.asarray(w))
-        bits_l.append(np.asarray(bts))
+        # D2H only the words actually used (the packer's buffer is sized
+        # for the worst case; transferring it whole is ~20x the data,
+        # and D2H rides a slow tunnel in this container)
+        bts_np = np.asarray(bts)
+        wmax = int(bts_np.max(initial=1) + 31) // 32 + 1
+        wmax = min(-(-wmax // 2048) * 2048, w.shape[1])
+        words_l.append(np.asarray(w[:, :wmax]))
+        bits_l.append(bts_np)
         # batched CRC over right-aligned rows
         right = np.zeros((DEV_BATCH, member_size), np.uint8)
         for k in range(DEV_BATCH):
@@ -246,7 +252,11 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
             if ln:
                 right[k, member_size - ln:] = blocks[sl][k, :ln]
         crcs_l.append(crc32_batch_jax(jnp.asarray(right), n_valid[sl]))
-    words = np.concatenate(words_l, axis=0)
+    # batches may have different sliced widths; pad to the widest
+    wpad = max(wl.shape[1] for wl in words_l)
+    words = np.zeros((b_pad, wpad), np.uint32)
+    for g, wl in enumerate(words_l):
+        words[g * DEV_BATCH:(g + 1) * DEV_BATCH, :wl.shape[1]] = wl
     bits = np.concatenate(bits_l, axis=0)
     crcs = np.concatenate(crcs_l, axis=0)
     cnts = np.concatenate(cnt_l, axis=0) if sync else None
