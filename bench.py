@@ -131,8 +131,8 @@ def main() -> None:
             finally:
                 signal.alarm(0)
 
-        enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "560"))
-        dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "120"))
+        enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "420"))
+        dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "90"))
 
         stream_dev = None
         with stage_budget("encode", enc_budget):
@@ -272,20 +272,36 @@ def _kernel_side_decode(stream: bytes, nbytes: int):
 
     out = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t, k_tok)
     sync_read(out)
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t, k_tok)
-        sync_read(out)
-        best = min(best, time.perf_counter() - t0)
+
+    # Slope methodology: a single dispatch through the axon relay costs
+    # ~28 ms wall regardless of kernel size (measured: a trivial
+    # jitted add has the same floor).  Time 1 and 1+N back-to-back
+    # executions (device-ordered) and take the difference, so the
+    # number reflects sustained kernel throughput, not tunnel RTT.
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t,
+                                    k_tok)
+            sync_read(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t17 = timed(1), timed(17)
+    per_call = max((t17 - t1) / 16, 1e-6)
     return {
-        "device_decode_kernel_gbps": round(nbytes / 1e9 / best, 3),
-        "device_kernel_ms": round(best * 1000, 2),
+        "device_decode_kernel_gbps": round(nbytes / 1e9 / per_call, 3),
+        "device_kernel_ms": round(per_call * 1000, 3),
+        "device_kernel_dispatch_floor_ms": round(t1 * 1000, 1),
         "device_kernel_chunks": len(all_offs),
         "device_kernel_note": (
-            "output bytes / sync-decode kernel time, inputs device-"
-            "resident; e2e is capped by the container's ~40 MB/s D2H "
-            "tunnel (environment artifact, see docs/ROADMAP.md)"),
+            "output bytes / sustained sync-decode kernel time, slope-"
+            "measured over 16 back-to-back executions with device-"
+            "resident inputs (a single dispatch pays ~28 ms axon-relay "
+            "RTT; e2e additionally rides a ~40 MB/s D2H tunnel — both "
+            "container artifacts, see docs/ROADMAP.md)"),
     }
 
 
