@@ -190,9 +190,19 @@ def tokenize_block(data: jnp.ndarray, n_valid: jnp.ndarray,
     Returns:
         (a, b, n_tokens): token arrays (max_tokens,) int32 + count.
     """
+    cand = prefix_candidates(data, window)
+    return tokenize_block_from_cand(data, n_valid, max_tokens, cand,
+                                    max_match)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tokens", "max_match"))
+def tokenize_block_from_cand(data: jnp.ndarray, n_valid: jnp.ndarray,
+                             max_tokens: int, cand: jnp.ndarray,
+                             max_match: int = C.MAX_MATCH):
+    """Tokenizer tail given precomputed candidates (sort- or
+    hash-kernel-sourced — see ops.pallas_lz77)."""
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    cand = prefix_candidates(data, window)
     # forbid matches that start in or reach past the valid region only
     cand = jnp.where(idx < n_valid, cand, -1)
     lengths = match_lengths(data, cand, max_match)

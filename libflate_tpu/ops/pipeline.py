@@ -34,6 +34,27 @@ def _tokenize_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray):
         blocks, n_valid)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _tokenize_tail(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                   cand: jnp.ndarray):
+    from .lz77 import tokenize_block_from_cand
+    n = blocks.shape[1]
+    return jax.vmap(
+        lambda blk, nv, cd: tokenize_block_from_cand(blk, nv, n + 1, cd)
+    )(blocks, n_valid, cand)
+
+
+def _tokenize_batch_any(blocks: jnp.ndarray, n_valid: jnp.ndarray):
+    """Hash-kernel candidates (Pallas) when available, else the
+    sort-based path.  The kernel replaces the encode pipeline's
+    dominant cost (64 Ki-key argsort per member)."""
+    from .pallas_lz77 import LANES, prefix_candidates_pallas
+    if _use_pallas() and blocks.shape[0] == LANES:
+        cand = prefix_candidates_pallas(blocks)
+        return _tokenize_tail(blocks, n_valid, cand)
+    return _tokenize_batch(blocks, n_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
 def _fields_batch(a, b, cnt, bfinal, block_type: str):
     from .deflate_encode import encode_block_fields
@@ -200,7 +221,7 @@ def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     fused graph sends XLA-TPU compile time pathological (≈390 s for a
     64 KiB block vs ≈20 s split), while steady-state cost is identical.
     """
-    a, b, cnt = _tokenize_batch(blocks, n_valid)
+    a, b, cnt = _tokenize_batch_any(blocks, n_valid)
     if block_type == "shared":
         values, widths = _fields_batch_shared(a, b, cnt, bfinal)
     elif block_type == "dynamic" and _use_pallas():
@@ -238,7 +259,7 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     ``offsets[i, j]`` is the absolute bit position of member i's token
     ``k*j`` (the input to the PGZF "LS" subfield / sync decode kernel).
     """
-    a, b, cnt = _tokenize_batch(blocks, n_valid)
+    a, b, cnt = _tokenize_batch_any(blocks, n_valid)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal)
     words, bits = _pack_batch(values, widths)
     offsets = _sync_offsets_batch(widths, k)

@@ -197,3 +197,67 @@ class TestShardedDecode:
         assert not err.any()
         assert (n_out == n).all()
         assert (out == blocks).all()
+
+
+class TestHashCandidatesKernel:
+    """ops/pallas_lz77: per-lane VMEM hash table vs the sort oracle."""
+
+    def test_candidates_match_sort_modulo_collisions(self, monkeypatch):
+        monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from libflate_tpu.ops import lz77
+        from libflate_tpu.ops.pallas_lz77 import (LANES,
+                                                  prefix_candidates_pallas)
+        rng = np.random.default_rng(0)
+        n = 4096
+        blocks = np.zeros((LANES, n), np.uint8)
+        for i in range(LANES):
+            piece = rng.integers(97, 107, 400, dtype=np.uint8).tobytes() * 20
+            blocks[i] = np.frombuffer(piece[:n], np.uint8)
+        blocks[1] = rng.integers(0, 256, n, dtype=np.uint8)
+
+        cand_k = np.asarray(prefix_candidates_pallas(jnp.asarray(blocks)))
+        cand_s = np.asarray(jax.vmap(
+            lambda d: lz77.prefix_candidates(d))(jnp.asarray(blocks)))
+        # identical wherever no bucket collision; collisions are rare on
+        # text-like lanes and always verified downstream by the LCP stage
+        text = [i for i in range(LANES) if i != 1]
+        assert (cand_k[text] == cand_s[text]).mean() > 0.9
+        idx = np.arange(n)[None, :]
+        assert ((cand_k < idx) | (cand_k == -1)).all()
+        # the random lane aliases buckets heavily; every bogus candidate
+        # must fail the 3-byte LCP so no false match survives
+        lens = np.asarray(lz77.match_lengths(
+            jnp.asarray(blocks[1]), jnp.asarray(cand_k[1])))
+        real = lens >= 3
+        for p in np.nonzero(real)[0][:50]:
+            c = cand_k[1, p]
+            assert (blocks[1, p:p + 3] == blocks[1, c:c + 3]).all()
+
+    def test_tokenize_tail_roundtrip_with_hash_candidates(self, monkeypatch):
+        monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+        import jax.numpy as jnp
+
+        from libflate_tpu.ops.pallas_lz77 import (LANES,
+                                                  prefix_candidates_pallas)
+        from libflate_tpu.ops.pipeline import _tokenize_tail
+        from libflate_tpu.serial.lz77 import expand_tokens
+        rng = np.random.default_rng(1)
+        n = 2048
+        blocks = np.zeros((LANES, n), np.uint8)
+        for i in range(LANES):
+            piece = rng.integers(97, 105, 300, dtype=np.uint8).tobytes() * 10
+            blocks[i] = np.frombuffer(piece[:n], np.uint8)
+        nv = np.full((LANES,), n, np.int32)
+        nv[3] = 777
+        blocks[3, 777:] = 0
+
+        cand = prefix_candidates_pallas(jnp.asarray(blocks))
+        a, b, cnt = map(np.asarray, _tokenize_tail(
+            jnp.asarray(blocks), jnp.asarray(nv), cand))
+        for i in (0, 1, 3, 127):
+            toks = [(int(a[i, t]), int(b[i, t])) for t in range(cnt[i])]
+            assert bytes(expand_tokens(toks)) == \
+                blocks[i, :nv[i]].tobytes(), f"lane {i}"
