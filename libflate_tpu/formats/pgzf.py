@@ -552,6 +552,13 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
                 lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), k_tok))
         with _maybe_stage(timer, "token gather"):
             toks = psd.gather_tokens(out, s_n, k_tok)
+        if os.environ.get("LIBFLATE_DEBUG_CHECKS") == "1":
+            if (toks & psd.DEBUG_POISON).any():
+                bad = int(np.argmax((toks & psd.DEBUG_POISON).any(axis=1)))
+                raise DeflateError(
+                    f"sync kernel invariant violated (cursor escaped its "
+                    f"staged window) in chunk slot {bad} — corrupt LS "
+                    f"index or bitstream")
         for i, s0, nc in member_span:
             n_tokens = int(syncs[i][1])
             member_toks[i] = toks[s0:s0 + nc].reshape(-1)[:n_tokens]

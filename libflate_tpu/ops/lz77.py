@@ -80,17 +80,26 @@ def _words4(data: jnp.ndarray) -> jnp.ndarray:
 
 
 def match_lengths(data: jnp.ndarray, cand: jnp.ndarray,
-                  max_match: int = C.MAX_MATCH) -> jnp.ndarray:
+                  max_match: int = C.MAX_MATCH,
+                  max_rounds: int | None = None) -> jnp.ndarray:
     """Exact LCP between each position and its candidate, clipped to the
-    block end and ``max_match``.  0 where cand < 0."""
+    block end and ``max_match``.  0 where cand < 0.
+
+    ``max_rounds`` bounds the 4-byte extension rounds (matches cap at
+    ~4*max_rounds bytes): one straggler position extending to 258
+    otherwise drags every lane through 65 gather rounds.  Truncated
+    lengths are still valid DEFLATE matches — pure ratio/time trade."""
     n = data.shape[0]
     w4 = _words4(data)
     idx = jnp.arange(n, dtype=jnp.int32)
     limit = jnp.minimum(max_match, n - idx)
 
     def cond(state):
-        _, active, _ = state
-        return jnp.any(active)
+        _, active, rounds = state
+        alive = jnp.any(active)
+        if max_rounds is not None:
+            alive &= rounds < max_rounds
+        return alive
 
     def body(state):
         ln, active, rounds = state
@@ -195,17 +204,19 @@ def tokenize_block(data: jnp.ndarray, n_valid: jnp.ndarray,
                                     max_match)
 
 
-@functools.partial(jax.jit, static_argnames=("max_tokens", "max_match"))
+@functools.partial(jax.jit, static_argnames=("max_tokens", "max_match",
+                                             "max_rounds"))
 def tokenize_block_from_cand(data: jnp.ndarray, n_valid: jnp.ndarray,
                              max_tokens: int, cand: jnp.ndarray,
-                             max_match: int = C.MAX_MATCH):
+                             max_match: int = C.MAX_MATCH,
+                             max_rounds: int | None = None):
     """Tokenizer tail given precomputed candidates (sort- or
     hash-kernel-sourced — see ops.pallas_lz77)."""
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     # forbid matches that start in or reach past the valid region only
     cand = jnp.where(idx < n_valid, cand, -1)
-    lengths = match_lengths(data, cand, max_match)
+    lengths = match_lengths(data, cand, max_match, max_rounds)
     lengths = jnp.minimum(lengths, jnp.maximum(n_valid - idx, 0))
     lengths = jnp.where(lengths >= C.MIN_MATCH, lengths, 0)
 

@@ -8,7 +8,7 @@ at ``hash(3-byte key)``; the previous occupant is its candidate.
 
 TPU-first decomposition:
 
-* 128 members ride the lanes; each lane owns a private 1024-bucket
+* 128 members ride the lanes; each lane owns a private 4096-bucket
   table column in VMEM scratch (persistent across the sequential grid
   walk over position chunks).
 * 8 consecutive positions per inner step occupy the sublanes.  Both
@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUB = 8
-BUCKETS = 2048               # 11-bit hash; 1 MiB VMEM table
+BUCKETS = 4096               # 12-bit hash; 2 MiB VMEM table
 GROUPS = BUCKETS // SUB
 CHUNK_POS = 2048             # positions per grid step
 

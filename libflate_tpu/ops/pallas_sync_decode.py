@@ -59,9 +59,26 @@ def _bits_local(lo, hi, k, mask):
     return (v & mask).astype(jnp.int32)
 
 
+def _debug_checks() -> bool:
+    """Kernel invariant checks (SURVEY §5 debug_assert parity).
+
+    The reference encodes invariants as debug_assert! (src/bit.rs,
+    src/huffman.rs); here LIBFLATE_DEBUG_CHECKS=1 compiles poison marks
+    into the kernel: a slot whose cursor escapes its staged window
+    (corrupt LS index / bitstream) tags its tokens with bit 30, which
+    the host translates into a typed DeflateError instead of silently
+    expanding garbage.  Off the hot path by default (trace-time flag).
+    """
+    import os
+    return os.environ.get("LIBFLATE_DEBUG_CHECKS") == "1"
+
+
+DEBUG_POISON = 1 << 30
+
+
 def _sync_kernel(staged_ref, sb_ref, cnt_ref, lit_ref, dist_ref,
                  lb_ref, le_ref, db_ref, de_ref, out_ref,
-                 *, k_tokens: int, d_words: int):
+                 *, k_tokens: int, d_words: int, debug: bool = False):
     lit_rows = lit_ref[:]
     dist_rows = dist_ref[:]
     lb = lb_ref[:]
@@ -143,6 +160,11 @@ def _sync_kernel(staged_ref, sb_ref, cnt_ref, lit_ref, dist_ref,
         a = jnp.where(is_len, length, sym)
         b = jnp.where(is_len, dist, 0)
         tok = jnp.clip(a, 0, 511) | (jnp.clip(b, 0, 65535) << 9)
+        if debug:
+            # invariant: the cursor must stay within the staged window
+            # (it cannot if the LS index or the bitstream is corrupt)
+            escaped = cursor + 55 > d_words * 32
+            tok = jnp.where(escaped, tok | DEBUG_POISON, tok)
 
         active = i < cnt
         out_ref[pl.ds(i * SUBLANES, SUBLANES), :] = jnp.where(
@@ -197,7 +219,7 @@ def sync_decode(staged: jnp.ndarray, start_bits: jnp.ndarray,
                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     kern = functools.partial(_sync_kernel, k_tokens=k_tokens,
-                             d_words=d_words)
+                             d_words=d_words, debug=_debug_checks())
 
     def kernel(staged_r, sb_r, cnt_r, lit_r, dist_r, lb_r, le_r, db_r,
                de_r, out_r):

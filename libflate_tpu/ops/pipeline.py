@@ -34,13 +34,21 @@ def _tokenize_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray):
         blocks, n_valid)
 
 
+#: LCP extension rounds on the hash path: matches cap at ~128 bytes.
+#: One straggler 258-byte match otherwise drags all lanes through 65
+#: gather rounds; the ratio cost of truncation is well under the hash
+#: table's own approximation noise.
+TAIL_LCP_ROUNDS = 32
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _tokenize_tail(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                    cand: jnp.ndarray):
     from .lz77 import tokenize_block_from_cand
     n = blocks.shape[1]
     return jax.vmap(
-        lambda blk, nv, cd: tokenize_block_from_cand(blk, nv, n + 1, cd)
+        lambda blk, nv, cd: tokenize_block_from_cand(
+            blk, nv, n + 1, cd, max_rounds=TAIL_LCP_ROUNDS)
     )(blocks, n_valid, cand)
 
 

@@ -153,3 +153,25 @@ class TestSyncContainer:
         with pytest.raises(ImportError):
             pgzf._decompress_sync_device(stream, refs, True)
         assert pgzf.decompress(stream, engine="tpu") == data
+
+
+class TestKernelDebugChecks:
+    def test_poison_on_corrupt_index(self, sync_interpret, monkeypatch):
+        """SURVEY §5 debug_assert parity: with LIBFLATE_DEBUG_CHECKS the
+        kernel tags slots whose cursor escapes the staged window and the
+        host raises a typed error instead of relying on CRC."""
+        monkeypatch.setenv("LIBFLATE_DEBUG_CHECKS", "1")
+        data = _corpus(120000)
+        stream = bytearray(pgzf.compress(data, member_size=32768,
+                                         engine="tpu"))
+        # clean stream still decodes with checks on
+        refs = pgzf.index_members(bytes(stream))
+        assert pgzf._decompress_sync_device(bytes(stream), refs, True) \
+            == data
+        # corrupt a mid-stream LS delta so a chunk starts far off
+        ls = bytes(stream).find(b"LS")
+        assert ls > 0
+        stream[ls + 4 + 15] ^= 0xFF
+        refs = pgzf.index_members(bytes(stream))
+        with pytest.raises(Exception):
+            pgzf._decompress_sync_device(bytes(stream), refs, True)
