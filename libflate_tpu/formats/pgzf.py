@@ -614,6 +614,148 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
     return b"".join(pieces)  # type: ignore[arg-type]
 
 
+def decompress_to_device(data: bytes, verify: bool = False):
+    """Decode a sync-indexed PGZF stream INTO device memory.
+
+    The decompress-into-training-batch shape: members decode via the
+    sync kernel, tokens are reordered per member with one device
+    gather, and LZ77 expansion runs on-device (pointer doubling) — the
+    plaintext never crosses to the host.  Returns ``(out, lengths)``:
+    ``out`` is a (n_members, member_cap) uint8 device array, row i
+    holding member i's plaintext in ``out[i, :lengths[i]]`` — ready to
+    feed a data pipeline without any D2H transfer.
+
+    Raises ImportError when the stream lacks the LS index or no
+    accelerator backend is available (callers fall back to the host
+    paths; ``verify=True`` additionally CRC-checks on device).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_sync_decode as psd
+    from ..ops.deflate_decode import expand_tokens_device
+    from ..ops.huffman import decode_table
+    from ..serial.deflate import DeflateError
+    from .gzip import GzipError
+
+    if (jax.default_backend() == "cpu"
+            and not os.environ.get("LIBFLATE_PALLAS_INTERPRET")):
+        raise ImportError("device decode needs a TPU backend")
+    data = bytes(data)
+    refs = index_members(data)
+    if refs is None:
+        raise ImportError("no member index")
+    bsz = len(refs)
+    isizes = np.zeros((bsz,), np.int64)
+    crcs_expected = np.zeros((bsz,), np.uint32)
+    syncs: list = [None] * bsz
+    for i, ref in enumerate(refs):
+        crcs_expected[i], isizes[i] = struct.unpack_from(
+            "<II", data, ref.end - 8)
+        hdr, _ = fgzip.Header.decode(data, ref.start)
+        syncs[i] = _parse_sync(hdr)
+    if any(s is None for s in syncs):
+        raise ImportError("stream is not fully sync-indexed")
+
+    from .. import native
+    if not native.available():
+        raise ImportError("needs the native header parser")
+    bodies = b"".join(data[r.body:r.end - 8] for r in refs)
+    offs_b = np.zeros(bsz + 1, np.uint64)
+    for i, r in enumerate(refs):
+        offs_b[i + 1] = offs_b[i] + (r.end - 8 - r.body)
+    lit_ls, dist_ls, starts64, flags = native.parse_dyn_headers(
+        bodies, offs_b)
+    if not ((flags == 5).all() and int(lit_ls.max()) <= 12
+            and int(dist_ls.max()) <= 8
+            and (lit_ls == lit_ls[0]).all() and (dist_ls == dist_ls[0]).all()):
+        raise ImportError("not a single-table sync stream")
+
+    k_tok = syncs[0][0]
+    chunk_offs, chunk_ext, chunk_cnt = [], [], []
+    spans = []                         # (member, first slot, n_chunks)
+    for i, ref in enumerate(refs):
+        _k, nt, fb, nc, deltas = syncs[i]
+        if _k != k_tok:
+            raise ImportError("mixed sync chunk sizes")
+        body_bits = (ref.end - 8 - ref.body) * 8
+        starts = np.zeros(nc, np.int64)
+        starts[0] = fb
+        if nc > 1:
+            starts[1:] = fb + np.cumsum(deltas.astype(np.int64))
+        ends = np.empty(nc, np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = body_bits
+        spans.append((i, len(chunk_offs), nc))
+        chunk_offs.extend((ref.body * 8 + starts).tolist())
+        chunk_ext.extend((ends - starts).tolist())
+        chunk_cnt.extend(min(k_tok, nt - j * k_tok) for j in range(nc))
+
+    ext = np.asarray(chunk_ext, np.int64)
+    offs_arr = np.asarray(chunk_offs, np.int64)
+    need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
+    d_words = max(32, -(-need // 32) * 32)
+    staged, sb = psd.stage_chunks(data, offs_arr, ext, d_words)
+    s_n = len(chunk_offs)
+    counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
+    counts[:s_n] = chunk_cnt
+    counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
+    lit_t = decode_table(
+        jnp.asarray(lit_ls[0][:C.MAX_LITLEN_SYMBOLS]), 12)
+    dist_t = decode_table(jnp.asarray(dist_ls[0]), 8)
+    out = psd.sync_decode(jnp.asarray(staged), jnp.asarray(sb),
+                          jnp.asarray(counts), lit_t.astype(jnp.int32),
+                          dist_t.astype(jnp.int32), k_tok)
+
+    # device-side reorder: one gather maps (chunk slot, token) -> the
+    # member-major token sequence; indices are host-built (byte-scale)
+    max_t = max(int(s[1]) for s in syncs)
+    stride = -(-max_t // 1024) * 1024
+    idx = np.zeros((bsz, stride), np.int64)
+    cnt_tok = np.zeros((bsz,), np.int32)
+    for i, s0, nc in spans:
+        nt = int(syncs[i][1])
+        cnt_tok[i] = nt
+        # token t of member i lives at slot s0 + t//K, row (t%K), with
+        # slot s -> (p, sub, lane) = (s//1024, s%1024//128, s%128)
+        t = np.arange(nt, dtype=np.int64)
+        s = s0 + t // k_tok
+        flat = ((s // psd.SLOTS) * (k_tok * psd.SLOTS)
+                + (t % k_tok) * psd.SLOTS
+                + ((s % psd.SLOTS) // psd.LANES) * psd.LANES
+                + (s % psd.LANES))
+        idx[i, :nt] = flat
+    toks = jnp.take(out.reshape(-1), jnp.asarray(idx), axis=0)
+    a = toks & 511
+    b = toks >> 9
+    member_cap = int(isizes.max(initial=1))
+    member_cap = 1 << max(8, (member_cap - 1).bit_length())
+    plain, n_out, err = expand_tokens_device(
+        a.astype(jnp.int32), b.astype(jnp.int32),
+        jnp.asarray(cnt_tok), member_cap)
+    if bool(np.asarray(err).any()):
+        raise DeflateError("bad back-reference in device expansion")
+    if verify:
+        from ..ops.checksum import crc32_batch_jax
+        right = jnp.zeros_like(plain)
+        # right-align rows for the batched CRC (device-side roll)
+        shift = member_cap - jnp.asarray(isizes, jnp.int32)
+        cols = jnp.arange(member_cap, dtype=jnp.int32)[None, :]
+        src = cols - shift[:, None]
+        right = jnp.where(src >= 0,
+                          jnp.take_along_axis(
+                              plain, jnp.clip(src, 0, member_cap - 1),
+                              axis=1), 0)
+        crcs = np.asarray(crc32_batch_jax(right,
+                                          jnp.asarray(isizes, jnp.int32)))
+        for i in range(bsz):
+            if int(crcs[i]) != int(crcs_expected[i]):
+                raise GzipError(f"gzip CRC mismatch in member {i}")
+    return plain, jnp.asarray(isizes, jnp.int32)
+
+
 def _decompress_shared_device(data: bytes, refs: list[MemberRef],
                               verify: bool) -> bytes:
     """Shared-table speculative decode (Pallas kernel, groups of 128).

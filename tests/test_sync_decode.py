@@ -175,3 +175,29 @@ class TestKernelDebugChecks:
         refs = pgzf.index_members(bytes(stream))
         with pytest.raises(Exception):
             pgzf._decompress_sync_device(bytes(stream), refs, True)
+
+
+class TestDecompressToDevice:
+    def test_plaintext_stays_on_device(self, sync_interpret):
+        """decompress_to_device: sync kernel -> device token reorder ->
+        on-device LZ77 expansion; plaintext rows verified against the
+        source without any engine-level D2H in between."""
+        import jax.numpy as jnp
+        data = _corpus(150000)
+        stream = pgzf.compress(data, member_size=32768, engine="tpu")
+        out, lengths = pgzf.decompress_to_device(stream, verify=True)
+        assert isinstance(out, jnp.ndarray) and out.dtype == jnp.uint8
+        pieces = []
+        out_np = np.asarray(out)
+        for i, ln in enumerate(np.asarray(lengths)):
+            pieces.append(out_np[i, :int(ln)].tobytes())
+        assert b"".join(pieces) == data
+
+    def test_rejects_non_indexed_stream(self, sync_interpret):
+        native = pytest.importorskip("libflate_tpu.native")
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        data = _corpus(80000)
+        stream = pgzf.compress(data, member_size=32768, engine="native")
+        with pytest.raises(ImportError):
+            pgzf.decompress_to_device(stream)
