@@ -94,32 +94,75 @@ def match_lengths(data: jnp.ndarray, cand: jnp.ndarray,
     idx = jnp.arange(n, dtype=jnp.int32)
     limit = jnp.minimum(max_match, n - idx)
 
-    def cond(state):
-        _, active, rounds = state
-        alive = jnp.any(active)
-        if max_rounds is not None:
-            alive &= rounds < max_rounds
-        return alive
-
-    def body(state):
-        ln, active, rounds = state
-        ca = jnp.clip(cand + ln, 0, n - 1)
-        cb = jnp.clip(idx + ln, 0, n - 1)
+    def extend(ln, active, pos, cnd, lim):
+        ca = jnp.clip(cnd + ln, 0, n - 1)
+        cb = jnp.clip(pos + ln, 0, n - 1)
         x = w4[ca] ^ w4[cb]
         full = (x == 0)
         tz = jnp.where(full, 4,
                        jnp.where(x & 0xFF, 0,
                                  jnp.where(x & 0xFFFF, 1,
                                            jnp.where(x & 0xFFFFFF, 2, 3))))
-        step = jnp.where(active, tz, 0)
-        ln = jnp.minimum(ln + step, limit)
-        active = active & full & (ln < limit)
-        return ln, active, rounds + 1
+        ln = jnp.minimum(ln + jnp.where(active, tz, 0), lim)
+        return ln, active & full & (ln < lim)
 
-    ln0 = jnp.zeros((n,), jnp.int32)
-    active0 = cand >= 0
-    ln, _, _ = jax.lax.while_loop(
-        cond, body, (ln0, active0, jnp.int32(0)))
+    # dense phase: 3 rounds (12 bytes) cover the overwhelming majority
+    # of matches; each round is 2 full-array gathers
+    ln = jnp.zeros((n,), jnp.int32)
+    active = cand >= 0
+    for _ in range(3):
+        ln, active = extend(ln, active, idx, cand, limit)
+
+    # sparse phase: survivors (long matches, typically a few % of
+    # positions) are compacted so the remaining rounds gather only
+    # survivor-sized arrays instead of the full block every round
+    cap = max(256, n // 8)
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    n_sur = jnp.sum(active.astype(jnp.int32))
+    slot = jnp.where(active & (rank < cap), rank, cap)
+    s_pos = jnp.zeros((cap + 1,), jnp.int32).at[slot].max(
+        jnp.where(active, idx, 0), mode="drop")[:cap]
+    valid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_sur, cap)
+    s_pos_c = jnp.clip(s_pos, 0, n - 1)
+    s_cand = cand[s_pos_c]
+    s_lim = limit[s_pos_c]
+    s_ln = ln[s_pos_c]
+
+    def cond(state):
+        _, act, rounds = state
+        alive = jnp.any(act)
+        if max_rounds is not None:
+            alive &= rounds < max_rounds - 3
+        return alive & (rounds < 64)
+
+    def body(state):
+        sl, act, rounds = state
+        sl, act = extend(sl, act, s_pos, s_cand, s_lim)
+        return sl, act, rounds + 1
+
+    s_ln, _, _ = jax.lax.while_loop(cond, body,
+                                    (s_ln, valid, jnp.int32(0)))
+    ln = ln.at[s_pos_c].max(jnp.where(valid, s_ln, 0), mode="drop")
+
+    # exactness fallback: survivors past `cap` (pathological high-
+    # redundancy blocks) finish with the dense loop — empty in normal
+    # data, so the while exits after one predicate evaluation
+    overflow = active & (rank >= cap)
+
+    def cond2(state):
+        _, act, rounds = state
+        alive = jnp.any(act)
+        if max_rounds is not None:
+            alive &= rounds < max_rounds - 3
+        return alive & (rounds < 64)
+
+    def body2(state):
+        l2, act, rounds = state
+        l2, act = extend(l2, act, idx, cand, limit)
+        return l2, act, rounds + 1
+
+    ln, _, _ = jax.lax.while_loop(cond2, body2,
+                                  (ln, overflow, jnp.int32(0)))
     return jnp.where(cand >= 0, jnp.minimum(ln, limit), 0)
 
 
