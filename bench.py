@@ -206,7 +206,6 @@ def _kernel_side_decode(stream: bytes, nbytes: int):
     number is output bytes / decode-kernel wall time with inputs already
     staged on device and completion forced via a scalar D2H read.
     """
-    import struct as _s
 
     import jax
     import jax.numpy as jnp

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 from .. import backend as _backend
 from ..spec import constants as C
-from ..utils.checksum import Crc32, crc32
+from ..utils.checksum import crc32
 
 
 class GzipError(ValueError):

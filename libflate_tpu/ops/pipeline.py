@@ -322,7 +322,6 @@ def deflate_device(data: bytes, options=None,
 
 def _register_engine() -> None:
     from .. import backend
-    from ..serial import deflate as sd
     from ..utils import checksum as ck
     from .checksum import adler32_jax, crc32_jax
 
