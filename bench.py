@@ -131,7 +131,7 @@ def main() -> None:
             finally:
                 signal.alarm(0)
 
-        enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "540"))
+        enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "560"))
         dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "90"))
 
         stream_dev = None
