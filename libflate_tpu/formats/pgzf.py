@@ -63,10 +63,14 @@ def _sync_payload(k: int, n_tokens: int, offsets: np.ndarray) -> bytes:
     """
     n_chunks = max(0, -(-n_tokens // k))
     first_bit = int(offsets[0])
-    deltas = np.diff(offsets[:n_chunks]).astype("<u2") if n_chunks > 1 \
-        else np.zeros(0, "<u2")
+    deltas64 = (np.diff(offsets[:n_chunks]).astype(np.int64)
+                if n_chunks > 1 else np.zeros(0, np.int64))
+    if len(deltas64) and int(deltas64.max()) > 0xFFFF:
+        # cannot happen for this encoder (K*42-bit worst-case symbols
+        # < 2^16 for K <= 1024) — guard against silent u16 wrap anyway
+        return None
     return (struct.pack("<BBHIIH", 1, 0, k, n_tokens, first_bit, n_chunks)
-            + deltas.tobytes())
+            + deltas64.astype("<u2").tobytes())
 
 
 def _tracer():

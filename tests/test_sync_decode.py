@@ -201,3 +201,28 @@ class TestDecompressToDevice:
         stream = pgzf.compress(data, member_size=32768, engine="native")
         with pytest.raises(ImportError):
             pgzf.decompress_to_device(stream)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sync_container_content_fuzz(sync_interpret, seed):
+    """Randomized payload mixes through device encode -> every decoder."""
+    rng = np.random.default_rng(100 + seed)
+    parts = []
+    for _ in range(int(rng.integers(2, 5))):
+        kind = int(rng.integers(0, 4))
+        n = int(rng.integers(1, 60000))
+        if kind == 0:
+            parts.append(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+        elif kind == 1:
+            parts.append(bytes([int(rng.integers(0, 4))]) * n)
+        elif kind == 2:
+            parts.append(_corpus(n, seed=seed))
+        else:
+            piece = bytes(rng.integers(0, 64, max(n // 4, 1),
+                                       dtype=np.uint8))
+            parts.append((piece * 5)[:n])
+    data = b"".join(parts)
+    stream = pgzf.compress(data, member_size=32768, engine="tpu")
+    assert stdgzip.decompress(stream) == data
+    assert pgzf.decompress(stream, engine="tpu") == data
+    assert pgzf.decompress(stream, engine="native") == data
