@@ -102,7 +102,7 @@ def main() -> None:
         _, enc_t = time_best(lambda: pgzf.compress(
             data, member_size=member_size, engine="native"), repeats=3)
         out, dec_t = time_best(lambda: pgzf.decompress(
-            stream, engine="native"), repeats=15)
+            stream, engine="native"), repeats=30)
         assert out == data, "native round-trip mismatch"
         results["native"] = (gb / enc_t, gb / dec_t)
         _log(f"native enc {gb / enc_t:.3f} dec {gb / dec_t:.3f} GB/s")
