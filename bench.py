@@ -229,25 +229,24 @@ def _kernel_side_decode(stream: bytes, nbytes: int):
         offs_b[i + 1] = offs_b[i] + (r.end - 8 - r.body)
     lit_ls, dist_ls, _st, flags = native.parse_dyn_headers(bodies, offs_b)
 
-    k_tok = next((s[0] for s in syncs if s), None)
-    if k_tok is None:
+    # tables come from the first sync-decodable member (stored-fallback
+    # members have flags != 5 and garbage length rows)
+    tab_i = next((i for i in range(len(refs))
+                  if syncs[i] is not None and flags[i] == 5), None)
+    if tab_i is None:
         return None
+    k_tok = syncs[tab_i][0]
     all_offs, all_ext, all_cnt = [], [], []
     for i, r in enumerate(refs):
-        if syncs[i] is None or flags[i] != 5:
+        if syncs[i] is None or flags[i] != 5 or syncs[i][0] != k_tok:
             continue
-        _k, nt, fb, nc, deltas = syncs[i]
-        body_bits = (r.end - 8 - r.body) * 8
-        starts = np.zeros(nc, np.int64)
-        starts[0] = fb
-        if nc > 1:
-            starts[1:] = fb + np.cumsum(deltas.astype(np.int64))
-        ends = np.empty(nc, np.int64)
-        ends[:-1] = starts[1:]
-        ends[-1] = body_bits
+        try:
+            starts, ends, counts_i = pgzf._chunk_spans(syncs[i], r)
+        except ImportError:
+            continue
         all_offs.extend((r.body * 8 + starts).tolist())
         all_ext.extend((ends - starts).tolist())
-        all_cnt.extend(min(k_tok, nt - j * k_tok) for j in range(nc))
+        all_cnt.extend(counts_i.tolist())
     if not all_offs:
         return None
     ext = np.asarray(all_ext, np.int64)
@@ -258,8 +257,8 @@ def _kernel_side_decode(stream: bytes, nbytes: int):
     counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
     counts[:len(all_cnt)] = all_cnt
     counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
-    lit_t = decode_table(jnp.asarray(lit_ls[0][:286]), 12).astype(jnp.int32)
-    dist_t = decode_table(jnp.asarray(dist_ls[0]), 8).astype(jnp.int32)
+    lit_t = decode_table(jnp.asarray(lit_ls[tab_i][:286]), 12).astype(jnp.int32)
+    dist_t = decode_table(jnp.asarray(dist_ls[tab_i]), 8).astype(jnp.int32)
 
     staged_d = jax.device_put(jnp.asarray(staged))
     sb_d = jax.device_put(jnp.asarray(sb))

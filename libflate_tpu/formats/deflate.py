@@ -97,30 +97,46 @@ class BlockStreamer:
 class Encoder:
     """Streaming encoder (parity: deflate::Encoder src/deflate/encode.rs).
 
-    Unlike round 1's buffer-all façade, writes stream through
+    With the default engine, writes stream through
     :class:`BlockStreamer`: a 1 GiB input is encoded in O(block_size)
-    memory, and the output byte-matches the one-shot ``compress()``.
+    memory and the output byte-matches the one-shot serial
+    ``compress()``.  An explicit ``engine`` keeps the buffer-all
+    behaviour (whole input handed to that engine at ``finish()``) —
+    the fast native/device paths produce complete streams, not
+    incremental blocks.
     """
 
     def __init__(self, sink=None, options: EncodeOptions | None = None,
                  engine: str | None = None) -> None:
         self._sink = sink if sink is not None else io.BytesIO()
-        self._streamer = BlockStreamer(options)
-        del engine  # block streaming is host-side; kept for API compat
+        self._engine = engine
+        self._options = options
+        if engine is None:
+            self._streamer = BlockStreamer(options)
+        else:
+            self._streamer = None
+            self._buf = bytearray()
         self._finished = False
 
     def write(self, data: bytes) -> int:
         if self._finished:
             raise ValueError("write after finish")
-        out = self._streamer.feed(bytes(data))
-        if out:
-            self._sink.write(out)
+        if self._streamer is None:
+            self._buf += data
+        else:
+            out = self._streamer.feed(bytes(data))
+            if out:
+                self._sink.write(out)
         return len(data)
 
     def finish(self):
         if not self._finished:
             self._finished = True
-            self._sink.write(self._streamer.finish())
+            if self._streamer is None:
+                self._sink.write(compress(bytes(self._buf), self._options,
+                                          self._engine))
+            else:
+                self._sink.write(self._streamer.finish())
         return self._sink
 
     def getvalue(self) -> bytes:

@@ -397,8 +397,15 @@ class Encoder:
             gz_opts = options or EncodeOptions()
             deflate_opts = gz_opts.deflate_options
             self._header = gz_opts.header(header or Header(mtime=0))
-        from .deflate import BlockStreamer
-        self._streamer = BlockStreamer(deflate_opts)
+        if engine is None:
+            from .deflate import BlockStreamer
+            self._streamer = BlockStreamer(deflate_opts)
+        else:
+            # explicit engine: buffer-all, whole input to that engine's
+            # deflate at finish (fast native/device one-shot paths)
+            self._streamer = None
+            self._buf = bytearray()
+            self._deflate_opts = deflate_opts
         self._crc = 0
         self._isize = 0
         self._header_written = False
@@ -416,16 +423,24 @@ class Encoder:
         eng = _backend.get(self._engine)
         self._crc = eng.crc32(data, self._crc)
         self._isize += len(data)
-        out = self._streamer.feed(data)
-        if out:
-            self._sink.write(out)
+        if self._streamer is None:
+            self._buf += data
+        else:
+            out = self._streamer.feed(data)
+            if out:
+                self._sink.write(out)
         return len(data)
 
     def finish(self):
         if not self._finished:
             self._finished = True
             self._ensure_header()
-            self._sink.write(self._streamer.finish())
+            if self._streamer is None:
+                eng = _backend.get(self._engine)
+                self._sink.write(bytes(eng.deflate(bytes(self._buf),
+                                                   self._deflate_opts)))
+            else:
+                self._sink.write(self._streamer.finish())
             self._sink.write(Trailer(self._crc, self._isize).encode())
         return self._sink
 

@@ -73,6 +73,30 @@ def _sync_payload(k: int, n_tokens: int, offsets: np.ndarray) -> bytes:
             + deltas64.astype("<u2").tobytes())
 
 
+def _chunk_spans(sync, ref: "MemberRef"):
+    """Validated chunk spans for one member's LS index.
+
+    Returns (starts, ends, counts) int64 arrays of bit offsets relative
+    to the member body / token counts per chunk.  Raises ImportError on
+    a corrupt or empty index (callers fall back to non-sync paths).
+    """
+    k, n_tokens, first_bit, n_chunks, deltas = sync
+    body_bits = (ref.end - 8 - ref.body) * 8
+    if n_chunks <= 0 or n_tokens <= 0 or n_chunks != -(-n_tokens // k):
+        raise ImportError("empty or inconsistent sync index")
+    starts = np.zeros(n_chunks, np.int64)
+    starts[0] = first_bit
+    if n_chunks > 1:
+        starts[1:] = first_bit + np.cumsum(deltas.astype(np.int64))
+    ends = np.empty(n_chunks, np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = body_bits
+    if (ends < starts).any() or starts[-1] >= body_bits:
+        raise ImportError("corrupt sync index")
+    counts = np.minimum(k, n_tokens - k * np.arange(n_chunks, dtype=np.int64))
+    return starts, ends, counts
+
+
 def _tracer():
     """StageTimer when LIBFLATE_TRACE is set (utils.profiling); else None."""
     import os
@@ -475,11 +499,19 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
             starts64[i] = r.bit_position
             dyn_ok[i] = True
 
+    # the LS first_bit must agree with the parsed post-header position —
+    # a cheap cross-check that rejects stale/foreign indices outright
     device_ok = np.array(
         [syncs[i] is not None and bool(dyn_ok[i])
          and int(lit_ls[i].max()) <= 12 and int(dist_ls[i].max()) <= 8
-         and int(syncs[i][1]) > 0
+         and int(syncs[i][1]) > 0 and int(syncs[i][2]) == int(starts64[i])
          for i in range(bsz)], bool)
+
+    dev_idx = [int(i) for i in np.nonzero(device_ok)[0]]
+    if not dev_idx:
+        # bail BEFORE host-decoding anything: the caller's fallback
+        # paths would otherwise decode the whole stream a second time
+        raise ImportError("no sync-decodable members")
 
     # host fallback for stored/foreign/oversized-table members
     pieces: list[bytes | None] = [None] * bsz
@@ -491,10 +523,6 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
         else:
             from ..serial.deflate import inflate as s_inflate
             pieces[int(i)] = bytes(s_inflate(body).data)
-
-    dev_idx = [int(i) for i in np.nonzero(device_ok)[0]]
-    if not dev_idx:
-        raise ImportError("no sync-decodable members")
 
     # group consecutive members by identical tables + K (one kernel
     # launch per group; the shared-table encoder emits identical
@@ -516,25 +544,13 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
         chunk_cnt: list[int] = []
         member_span: list[tuple[int, int, int]] = []   # (member, s0, nc)
         for i in group:
-            _k, n_tokens, first_bit, n_chunks, deltas = syncs[i]
-            body_bits = (refs[i].end - 8 - refs[i].body) * 8
-            starts = np.zeros(n_chunks, np.int64)
-            starts[0] = first_bit
-            if n_chunks > 1:
-                starts[1:] = first_bit + np.cumsum(
-                    deltas.astype(np.int64))
-            ends = np.empty(n_chunks, np.int64)
-            ends[:-1] = starts[1:]
-            ends[-1] = body_bits
-            if (ends < starts).any() or ends[-1] > body_bits:
-                raise ImportError("corrupt sync index")
+            starts, ends, counts_i = _chunk_spans(syncs[i], refs[i])
             base_bit = refs[i].body * 8
             s0 = len(chunk_offs)
             chunk_offs.extend((base_bit + starts).tolist())
             chunk_ext.extend((ends - starts).tolist())
-            for j in range(n_chunks):
-                chunk_cnt.append(min(k_tok, n_tokens - j * k_tok))
-            member_span.append((i, s0, n_chunks))
+            chunk_cnt.extend(counts_i.tolist())
+            member_span.append((i, s0, len(starts)))
 
         ext = np.asarray(chunk_ext, np.int64)
         offs_arr = np.asarray(chunk_offs, np.int64)
@@ -681,21 +697,15 @@ def decompress_to_device(data: bytes, verify: bool = False):
     chunk_offs, chunk_ext, chunk_cnt = [], [], []
     spans = []                         # (member, first slot, n_chunks)
     for i, ref in enumerate(refs):
-        _k, nt, fb, nc, deltas = syncs[i]
-        if _k != k_tok:
+        if syncs[i][0] != k_tok:
             raise ImportError("mixed sync chunk sizes")
-        body_bits = (ref.end - 8 - ref.body) * 8
-        starts = np.zeros(nc, np.int64)
-        starts[0] = fb
-        if nc > 1:
-            starts[1:] = fb + np.cumsum(deltas.astype(np.int64))
-        ends = np.empty(nc, np.int64)
-        ends[:-1] = starts[1:]
-        ends[-1] = body_bits
-        spans.append((i, len(chunk_offs), nc))
+        if int(syncs[i][2]) != int(starts64[i]):
+            raise ImportError("sync index disagrees with block header")
+        starts, ends, counts_i = _chunk_spans(syncs[i], ref)
+        spans.append((i, len(chunk_offs), len(starts)))
         chunk_offs.extend((ref.body * 8 + starts).tolist())
         chunk_ext.extend((ends - starts).tolist())
-        chunk_cnt.extend(min(k_tok, nt - j * k_tok) for j in range(nc))
+        chunk_cnt.extend(counts_i.tolist())
 
     ext = np.asarray(chunk_ext, np.int64)
     offs_arr = np.asarray(chunk_offs, np.int64)
@@ -743,7 +753,6 @@ def decompress_to_device(data: bytes, verify: bool = False):
         raise DeflateError("bad back-reference in device expansion")
     if verify:
         from ..ops.checksum import crc32_batch_jax
-        right = jnp.zeros_like(plain)
         # right-align rows for the batched CRC (device-side roll)
         shift = member_cap - jnp.asarray(isizes, jnp.int32)
         cols = jnp.arange(member_cap, dtype=jnp.int32)[None, :]

@@ -154,7 +154,15 @@ class Encoder:
                  engine: str | None = None) -> None:
         from .deflate import BlockStreamer
         self._sink = sink if sink is not None else io.BytesIO()
-        self._streamer = BlockStreamer(options)
+        self._options = options
+        if engine is None:
+            self._streamer = BlockStreamer(options)
+        else:
+            # explicit engine: buffer between flushes, whole segment to
+            # that engine at finish (fast one-shot paths); sync-flushed
+            # prefixes still go through a serial streamer segment
+            self._streamer = None
+            self._buf = bytearray()
         self._flush_mode = flush_mode
         self._engine = engine
         self._finished = False
@@ -176,9 +184,12 @@ class Encoder:
         data = bytes(data)
         eng = _backend.get(self._engine)
         self._adler = eng.adler32(data, self._adler)
-        out = self._streamer.feed(data)
-        if out:
-            self._sink.write(out)
+        if self._streamer is None:
+            self._buf += data
+        else:
+            out = self._streamer.feed(data)
+            if out:
+                self._sink.write(out)
         return len(data)
 
     def flush(self) -> None:
@@ -186,13 +197,25 @@ class Encoder:
         if self._flush_mode is not FlushMode.SYNC or self._finished:
             return
         self._ensure_header()
-        self._sink.write(self._streamer.sync_flush())
+        if self._streamer is None:
+            from .deflate import BlockStreamer
+            seg = BlockStreamer(self._options)
+            seg.feed(bytes(self._buf))
+            self._buf.clear()
+            self._sink.write(seg.sync_flush())
+        else:
+            self._sink.write(self._streamer.sync_flush())
 
     def finish(self):
         if not self._finished:
             self._finished = True
             self._ensure_header()
-            self._sink.write(self._streamer.finish())
+            if self._streamer is None:
+                eng = _backend.get(self._engine)
+                self._sink.write(bytes(eng.deflate(bytes(self._buf),
+                                                   self._options)))
+            else:
+                self._sink.write(self._streamer.finish())
             self._sink.write(struct.pack(">I", self._adler))
         return self._sink
 

@@ -283,3 +283,26 @@ class TestStreamingEncoders:
         out = enc.getvalue()
         assert pyzlib.decompress(out) == (b"first segment " * 1000
                                           + b"second segment " * 1000)
+
+    def test_explicit_engine_encoder_uses_engine(self):
+        """Encoder(engine=...) buffers and hands the whole input to that
+        engine at finish (the GB/s one-shot path); the default engine
+        streams in O(block) memory."""
+        import numpy as np
+        import pytest
+        from libflate_tpu import native
+        from libflate_tpu.formats import deflate, gzip as lf_gzip
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        data = bytes(np.random.default_rng(5).integers(0, 48, 200000,
+                                                       dtype=np.uint8))
+        enc = deflate.Encoder(engine="native")
+        enc.write(data[:100000])
+        enc.write(data[100000:])
+        out = enc.getvalue()
+        from libflate_tpu import backend
+        assert out == bytes(backend.get("native").deflate(data, None))
+        ge = lf_gzip.Encoder(engine="native")
+        ge.write(data)
+        import gzip as stdgzip
+        assert stdgzip.decompress(ge.getvalue()) == data
