@@ -188,12 +188,23 @@ def greedy_parse_marks(lengths: jnp.ndarray, min_match: int = C.MIN_MATCH
     jump = jnp.minimum(jump, n_pad)                  # clamp into sentinel
 
     chunk_of = idx // s
-    # chunk-exit map: g[p] = first position outside p's chunk on the orbit
-    g = jump
-    rounds = max(1, s.bit_length())
-    for _ in range(rounds):
+    # chunk-exit map: g[p] = first position outside p's chunk on the
+    # orbit.  Pointer doubling with early exit: resolution completes in
+    # ceil(log2(longest in-chunk orbit)) rounds (~7 typical), not the
+    # static worst case.
+    max_rounds = max(1, s.bit_length())
+
+    def d_cond(state):
+        g, r = state
         inside = (g < n_pad) & ((g // s) == chunk_of)
-        g = jnp.where(inside, g[jnp.clip(g, 0, n_pad - 1)], g)
+        return jnp.any(inside) & (r < max_rounds)
+
+    def d_body(state):
+        g, r = state
+        inside = (g < n_pad) & ((g // s) == chunk_of)
+        return jnp.where(inside, g[jnp.clip(g, 0, n_pad - 1)], g), r + 1
+
+    g, _ = jax.lax.while_loop(d_cond, d_body, (jump, jnp.int32(0)))
 
     # thread entries: entry of chunk 0 is 0; scan applies g per chunk
     def chunk_step(pos, t):
