@@ -67,6 +67,14 @@ def token_histograms_jax(a: jnp.ndarray, b: jnp.ndarray,
     """Masked per-block symbol histograms incl. EOB and dummy distance."""
     m = a.shape[0]
     valid = jnp.arange(m, dtype=jnp.int32) < n_tokens
+    return token_histograms_masked(a, b, valid)
+
+
+@jax.jit
+def token_histograms_masked(a: jnp.ndarray, b: jnp.ndarray,
+                            valid: jnp.ndarray):
+    """Histograms over an explicit valid-slot mask (padded token arrays
+    from the Pallas parse emit holes in stream order — ops/pallas_parse)."""
     lit_sym, dist_sym, is_match = token_symbols(a, b, valid)
     lit_freq = jnp.zeros((N_LIT,), jnp.int32).at[
         jnp.where(valid, lit_sym, N_LIT - 1)].add(

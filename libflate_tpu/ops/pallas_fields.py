@@ -87,7 +87,9 @@ def _fields_compute(a, b, nt,
     rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     gidx = base + rows * LANES + cols
-    valid = gidx < nt
+    # two masking schemes: sequential count (compacted tokens) and the
+    # a == -1 hole sentinel (padded stream-order tokens from pallas_parse)
+    valid = (gidx < nt) & (a >= 0)
 
     is_match = (b > 0) & valid
 

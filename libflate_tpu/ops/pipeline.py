@@ -63,6 +63,67 @@ def _tokenize_batch_any(blocks: jnp.ndarray, n_valid: jnp.ndarray):
     return _tokenize_batch(blocks, n_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                   cand: jnp.ndarray, lazy: bool = False):
+    """Candidate masking + LCP (+ TOO_FAR / lazy heuristics).
+
+    ``lazy=True`` applies two elementwise ratio heuristics before the
+    parse (both produce valid DEFLATE token choices, verified by
+    round-trip): the zlib TOO_FAR rule (len-3 matches beyond 4 KiB cost
+    more than 3 literals under typical codes) and one-step lazy
+    matching — defer to position p+1 when its match is strictly longer
+    (reference analog: zlib deflate_slow; measured −0.007 ratio on the
+    bench corpus).
+    """
+    from .lz77 import match_lengths
+    n = blocks.shape[1]
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cand = jnp.where(idx < n_valid[:, None], cand, -1)
+    lengths = jax.vmap(
+        lambda d, c: match_lengths(d, c, max_rounds=TAIL_LCP_ROUNDS)
+    )(blocks, cand)
+    lengths = jnp.minimum(lengths, jnp.maximum(n_valid[:, None] - idx, 0))
+    lengths = jnp.where(lengths >= C.MIN_MATCH, lengths, 0)
+    if lazy:
+        lengths = jnp.where((lengths == 3) & (idx - cand > 4096),
+                            0, lengths)
+        nxt = jnp.concatenate(
+            [lengths[:, 1:], jnp.zeros((lengths.shape[0], 1),
+                                       lengths.dtype)], axis=1)
+        lengths = jnp.where((nxt > lengths) & (lengths > 0), 0, lengths)
+    return cand, lengths
+
+
+def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                     lazy: bool | None = None):
+    """Kernel-backed tokenize returning PADDED stream-order tokens.
+
+    Returns (a, b, valid, n_tokens) with shape (B, n) — token slots in
+    stream order with hole slots (valid False) interleaved; downstream
+    fields give holes width 0, so the packed bits equal the compacted
+    stream's.  Greedy-parse + compaction run as Pallas kernels
+    (ops/pallas_parse) instead of XLA pointer-doubling + scatters.
+    """
+    import os
+    from .pallas_lz77 import prefix_candidates_pallas
+    from .pallas_parse import parse_tokens_pallas
+    if lazy is None:
+        lazy = os.environ.get("LIBFLATE_DEVICE_GREEDY") != "1"
+    cand = prefix_candidates_pallas(blocks)
+    cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy)
+    return parse_tokens_pallas(blocks, n_valid, cand, lengths)
+
+
+def _use_padded_parse(blocks: jnp.ndarray) -> bool:
+    from .pallas_lz77 import LANES
+    import os
+    if blocks.shape[0] != LANES:
+        return False
+    return (_use_pallas()
+            or os.environ.get("LIBFLATE_PALLAS_INTERPRET") == "1")
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
 def _fields_batch(a, b, cnt, bfinal, block_type: str):
     from .deflate_encode import encode_block_fields
@@ -121,12 +182,16 @@ def _fields_batch_pallas(a, b, cnt, bfinal):
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
-def _shared_stats(a, b, cnt, max_len: int = 12):
-    """Batch-global histogram → one shared code set + encoder tables."""
-    from .deflate_encode import _encoder_tables, token_histograms_jax
+def _shared_stats(a, b, valid, max_len: int = 12):
+    """Batch-global histogram → one shared code set + encoder tables.
+
+    ``valid``: (B, M) bool slot mask (padded parse) — compacted callers
+    pass ``idx < cnt``.
+    """
+    from .deflate_encode import _encoder_tables, token_histograms_masked
     from .huffman import package_merge_lengths
 
-    lit_freq, dist_freq = jax.vmap(token_histograms_jax)(a, b, cnt)
+    lit_freq, dist_freq = jax.vmap(token_histograms_masked)(a, b, valid)
     lit_lengths = package_merge_lengths(jnp.sum(lit_freq, axis=0), max_len)
     # distance alphabet is 30 symbols: an 8-bit cap costs <0.1% ratio
     # and keeps the decoder's distance root table at 2 lane-shuffle
@@ -145,14 +210,12 @@ def _shared_header(lit_lengths, dist_lengths):
 
 
 @jax.jit
-def _shared_tokens_xla(a, b, cnt, lit_rev, lit_w, dist_rev, dist_w):
+def _shared_tokens_xla(a, b, valid, lit_rev, lit_w, dist_rev, dist_w):
     from .deflate_encode import token_fields_xla
-    m = a.shape[1]
-    idx = jnp.arange(m, dtype=jnp.int32)
     return jax.vmap(
-        lambda aa, bb, nn: token_fields_xla(
-            aa, bb, idx < nn, lit_rev, lit_w, dist_rev, dist_w)
-    )(a, b, cnt)
+        lambda aa, bb, vv: token_fields_xla(
+            aa, bb, vv, lit_rev, lit_w, dist_rev, dist_w)
+    )(a, b, valid)
 
 
 @jax.jit
@@ -171,7 +234,14 @@ def _shared_assemble(f1v, f1w, f2v, f2w, hdrv, hdrw, lenv, lenw,
     return values, widths
 
 
-def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12):
+@jax.jit
+def _valid_from_count(a, cnt):
+    m = a.shape[1]
+    return jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
+
+
+def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12,
+                         valid=None):
     """Field build with ONE shared Huffman table for the whole batch.
 
     The batch-global histogram yields a single litlen/dist code set that
@@ -182,6 +252,9 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12):
     speculative kernel.  ``max_len=12`` bounds code length so decode
     root tables stay lane-shuffle-sized; ratio cost is ≈0.1-1%.
 
+    ``valid``: optional (B, M) slot mask for padded stream-order tokens
+    (pallas_parse); None means the compacted ``idx < cnt`` layout.
+
     Split into several small jits — one fused graph costs minutes of
     XLA TPU compile time (see _encode_batch).
     """
@@ -189,24 +262,27 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12):
 
     bsz, m = a.shape
     del bfinal  # every member is one final block; header assumes BFINAL=1
+    if valid is None:
+        valid = _valid_from_count(a, cnt)
     (lit_lengths, dist_lengths, lit_rev, lit_w,
-     dist_rev, dist_w) = _shared_stats(a, b, cnt, max_len)
+     dist_rev, dist_w) = _shared_stats(a, b, valid, max_len)
     hdrv, hdrw, lenv, lenw = _shared_header(lit_lengths, dist_lengths)
 
     if _use_pallas():
         pad = (-m) % 1024
         padm = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
         rep = lambda t, n: jnp.broadcast_to(t[None, :], (bsz, n))
+        a_holes = jnp.where(valid, a, -1)     # hole sentinel for kernel
         f1v, f1w, f2v, f2w = token_fields_pallas(
-            padm(a), padm(b), cnt,
+            padm(a_holes), padm(b), jnp.full((bsz,), m, jnp.int32),
             rep(jnp.pad(lit_rev, (0, 2)), 288),
             rep(jnp.pad(lit_w, (0, 2)), 288),
             rep(dist_rev, 30), rep(dist_w, 30))
         f1v, f1w = f1v[:, :m], f1w[:, :m]
         f2v, f2w = f2v[:, :m], f2w[:, :m]
     else:
-        f1v, f1w, f2v, f2w = _shared_tokens_xla(a, b, cnt, lit_rev, lit_w,
-                                                dist_rev, dist_w)
+        f1v, f1w, f2v, f2w = _shared_tokens_xla(a, b, valid, lit_rev,
+                                                lit_w, dist_rev, dist_w)
     return _shared_assemble(f1v, f1w, f2v, f2w, hdrv, hdrw, lenv, lenw,
                             lit_rev[256], lit_w[256])
 
@@ -229,6 +305,11 @@ def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     fused graph sends XLA-TPU compile time pathological (≈390 s for a
     64 KiB block vs ≈20 s split), while steady-state cost is identical.
     """
+    if block_type == "shared" and _use_padded_parse(blocks):
+        a, b, valid, cnt = _tokenize_padded(blocks, n_valid)
+        values, widths = _fields_batch_shared(a, b, cnt, bfinal,
+                                              valid=valid)
+        return _pack_batch(values, widths)
     a, b, cnt = _tokenize_batch_any(blocks, n_valid)
     if block_type == "shared":
         values, widths = _fields_batch_shared(a, b, cnt, bfinal)
@@ -259,6 +340,28 @@ def _sync_offsets_batch(widths: jnp.ndarray, k: int):
     return cum[:, idx - 1]                   # offset of field f = cum[f-1]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _sync_offsets_padded(widths: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Sync offsets for the padded stream-order token layout.
+
+    Slot i's fields sit at [F0 + 2i, F0 + 2i + 2) but token ordinals
+    skip hole slots, so the k·j-th token's slot is found by binary
+    search on the running valid count.  Saturates at the end-of-tokens
+    offset like _sync_offsets_batch.
+    """
+    from .deflate_encode import N_HEADER_FIELDS, N_LENGTH_FIELDS
+    f0 = N_HEADER_FIELDS + N_LENGTH_FIELDS
+    m = valid.shape[1]
+    slots = -(-m // k) + 1
+    cum = jnp.cumsum(widths.astype(jnp.int32), axis=1)
+    cv = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    targets = k * jnp.arange(slots, dtype=jnp.int32) + 1
+    slot_idx = jax.vmap(
+        lambda c: jnp.searchsorted(c, targets, side="left"))(cv)
+    fidx = jnp.clip(f0 + 2 * slot_idx, 1, widths.shape[1])
+    return jnp.take_along_axis(cum, fidx - 1, axis=1)
+
+
 def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                        bfinal: jnp.ndarray, k: int):
     """Shared-table batch encode that also returns the sync index.
@@ -267,6 +370,13 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     ``offsets[i, j]`` is the absolute bit position of member i's token
     ``k*j`` (the input to the PGZF "LS" subfield / sync decode kernel).
     """
+    if _use_padded_parse(blocks):
+        a, b, valid, cnt = _tokenize_padded(blocks, n_valid)
+        values, widths = _fields_batch_shared(a, b, cnt, bfinal,
+                                              valid=valid)
+        words, bits = _pack_batch(values, widths)
+        offsets = _sync_offsets_padded(widths, valid, k)
+        return words, bits, cnt, offsets
     a, b, cnt = _tokenize_batch_any(blocks, n_valid)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal)
     words, bits = _pack_batch(values, widths)
