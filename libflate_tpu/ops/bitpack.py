@@ -52,11 +52,17 @@ def pack_fields(values: jnp.ndarray, widths: jnp.ndarray
     # v >> (32 - s) is undefined for s == 0; double-shift avoids it
     hi = (masked >> (jnp.uint32(31) - shift)) >> jnp.uint32(1)
 
+    # One scatter instead of two: field f-1's spill word (hi) is always
+    # field f's word (hi[f-1] != 0 implies f-1 crossed its boundary, so
+    # word_idx[f] == word_idx[f-1] + 1; when hi[f-1] == 0 the add is a
+    # no-op) — fold it into f's contribution.  The last field's spill
+    # has no successor and lands with a single dynamic add.
+    hi_prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), hi[:-1]])
     words = jnp.zeros((n_words,), jnp.uint32)
-    words = words.at[word_idx].add(lo, indices_are_sorted=True,
+    words = words.at[word_idx].add(lo + hi_prev, indices_are_sorted=True,
                                    mode="drop")
-    words = words.at[word_idx + 1].add(hi, indices_are_sorted=True,
-                                       mode="drop")
+    if m:
+        words = words.at[word_idx[-1] + 1].add(hi[-1], mode="drop")
     return words, total_bits
 
 

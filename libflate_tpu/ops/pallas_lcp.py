@@ -1,0 +1,146 @@
+"""Pallas TPU exact-LCP kernel — member-per-program match lengths.
+
+The XLA match-length stage (ops/lz77.match_lengths) is the encode
+pipeline's second-largest cost (~0.7 s / 8 MiB warm): every extension
+round gathers 4-byte words at candidate offsets through XLA's ~85 M
+elem/s scalarized gather.  This kernel runs one member per grid program
+with the member's entire 4-byte-word array resident in VMEM (64 Ki
+words = 512×128 rows), so a gather is a bounded row-group sweep of
+lane shuffles (~0.8 vop/element) instead of an HBM scalar load.
+
+Key lockstep invariant: a lane stays *active* only while its words
+fully match, so every active lane's current length equals 4·round —
+the position-side word offset is uniform per round and needs only a
+2-group windowed read, while the candidate side sweeps a 34-group
+window (the 32 KiB DEFLATE history bound maps to ≤ 34 row groups).
+
+Semantics: ln[p] = min(true LCP(p, cand[p]), limit[p], 4·max_rounds),
+limit = min(258, n_valid - p); ln = 0 where cand < 0.  Mirrors the
+reference's sequential byte loop (libflate_lz77/src/default.rs:111-129)
+under the same round cap as the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 8
+ROWS = 512                  # 64 Ki positions / 128 lanes (TPU shape)
+N = ROWS * LANES            # 65536 positions per member
+_WIN_GROUPS = 34            # 32 KiB history + vreg span, in 8-row groups
+MAX_MATCH = 258
+
+
+def _interp() -> bool:
+    return os.environ.get("LIBFLATE_PALLAS_INTERPRET") == "1"
+
+
+def _gather_window(w4_ref, tgt, start_group, n_groups: int):
+    """acc[s,l] = w4[tgt[s,l]] for element ids tgt within the swept
+    row window [8·start_group, 8·(start_group+n_groups))."""
+    g = tgt >> 7                       # element row 0..rows-1
+    lane = tgt & (LANES - 1)
+    acc = jnp.zeros((SUB, LANES), jnp.int32)
+    for kk in range(n_groups):
+        rows = w4_ref[pl.ds(start_group * SUB + kk * SUB, SUB), :]
+        for s in range(SUB):
+            rb = jnp.broadcast_to(rows[s:s + 1, :], (SUB, LANES))
+            v = jnp.take_along_axis(rb, lane, axis=1)
+            acc = jnp.where(g == start_group * SUB + kk * SUB + s, v, acc)
+    return acc
+
+
+def _lcp_kernel(max_rounds, groups, w4_ref, cand_ref, nv_ref, out_ref):
+    b = pl.program_id(0)
+    n = groups * SUB * LANES
+    win_groups = min(_WIN_GROUPS, groups)
+    pos_groups = min(2, groups)
+    nv = nv_ref[b, 0]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+
+    def vreg_step(t, _):
+        c = cand_ref[pl.ds(t * SUB, SUB), :]
+        e = t * (SUB * LANES) + iota_s * LANES + iota_l
+        lim = jnp.clip(jnp.minimum(MAX_MATCH, nv - e), 0, None)
+        ln0 = jnp.zeros((SUB, LANES), jnp.int32)
+        act0 = ((c >= 0) & (lim > 0)).astype(jnp.int32)
+        cand_start = jnp.clip(t - (win_groups - 2), 0, groups - win_groups)
+        pos_start = jnp.minimum(t, groups - pos_groups)
+
+        def round_body(r, state):
+            ln, act = state
+            alive = jnp.max(act) > 0
+
+            def live(ln=ln, act=act, r=r):
+                d = 4 * r                     # uniform: active ⇒ ln == 4r
+                wc = _gather_window(w4_ref, jnp.clip(c + d, 0, n - 1),
+                                    cand_start, win_groups)
+                wp = _gather_window(w4_ref, jnp.clip(e + d, 0, n - 1),
+                                    pos_start, pos_groups)
+                x = wc ^ wp
+                tz = jnp.where(x == 0, 4,
+                               jnp.where(x & 0xFF, 0,
+                                         jnp.where(x & 0xFFFF, 1,
+                                                   jnp.where(x & 0xFFFFFF,
+                                                             2, 3))))
+                ln2 = jnp.minimum(ln + jnp.where(act > 0, tz, 0), lim)
+                act2 = act * ((x == 0) & (ln2 < lim)).astype(jnp.int32)
+                return ln2, act2
+
+            def dead(ln=ln, act=act):
+                return ln, act
+
+            return jax.lax.cond(alive, live, dead)
+
+        ln, _act = jax.lax.fori_loop(0, max_rounds, round_body,
+                                     (ln0, act0))
+        out_ref[pl.ds(t * SUB, SUB), :] = jnp.where(c >= 0, ln, 0)
+        return 0
+
+    jax.lax.fori_loop(0, groups, vreg_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
+                         n_valid: jnp.ndarray,
+                         max_rounds: int = 32) -> jnp.ndarray:
+    """(B, 65536) uint8 blocks + (B, 65536) int32 candidates →
+    (B, n) int32 match lengths (see module docstring for the exact
+    clip semantics).  B members run one per grid program; n must be a
+    multiple of 1024 (8 sublanes × 128 lanes)."""
+    bsz, n = blocks.shape
+    assert n % (SUB * LANES) == 0
+    rows = n // LANES
+    groups = rows // SUB
+    d = blocks.astype(jnp.uint32)
+    pad = jnp.zeros((bsz, 3), jnp.uint32)
+    dd = jnp.concatenate([d, pad], axis=1)
+    w4 = (dd[:, :n] | (dd[:, 1:n + 1] << 8) | (dd[:, 2:n + 2] << 16)
+          | (dd[:, 3:n + 3] << 24)).astype(jnp.int32)
+
+    spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    spec_nv = pl.BlockSpec((bsz, 1), lambda b: (0, 0),
+                           memory_space=pltpu.SMEM)
+
+    def kernel(w4_r, cand_r, nv_r, out_r):
+        _lcp_kernel(max_rounds, groups, w4_r.at[0], cand_r.at[0], nv_r,
+                    out_r.at[0])
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[spec, spec, spec_nv],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, rows, LANES), jnp.int32),
+        interpret=_interp(),
+    )(w4.reshape(bsz, rows, LANES), cand.reshape(bsz, rows, LANES),
+      n_valid.astype(jnp.int32).reshape(bsz, 1))
+    return out.reshape(bsz, n)

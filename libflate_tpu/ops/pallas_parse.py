@@ -147,7 +147,7 @@ def _walk_kernel(jump_ref, tok_ref, ent_ref, out_ref, cur_ref):
     for r in range(_TILES):
         out_ref[pl.ds(r * SUB, SUB), :] = neg
 
-    cur_ref[:] = ent_ref[:]
+    cur_ref[:] = ent_ref[0]
     jmp = jump_ref[:]
     tk = tok_ref[:]
 
@@ -182,7 +182,10 @@ def parse_walk_emit(jump: jnp.ndarray, tok: jnp.ndarray,
     assert lanes == LANES and p_total % CHUNK == 0
     spec = pl.BlockSpec((CHUNK, LANES), lambda j: (j, 0),
                         memory_space=pltpu.VMEM)
-    spec_ent = pl.BlockSpec((1, LANES), lambda j: (j, 0),
+    # entries ride a (1, LANES) trailing block: Mosaic requires the last
+    # two block dims divisible by (8, 128) OR equal to the array's — a
+    # leading grid axis over chunks keeps the (1, LANES) rows legal.
+    spec_ent = pl.BlockSpec((1, 1, LANES), lambda j: (j, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _walk_kernel,
@@ -192,7 +195,7 @@ def parse_walk_emit(jump: jnp.ndarray, tok: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((p_total, LANES), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)],
         interpret=_interp(),
-    )(jump, tok, entries)
+    )(jump, tok, entries.reshape(-1, 1, LANES))
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -94,6 +94,35 @@ class TestParseKernels:
         for i in range(B):
             assert (off1[i, :nch[i]] == off2[i, :nch[i]]).all(), i
 
+    def test_lcp_kernel_matches_xla_lengths(self, monkeypatch):
+        """pallas_lcp vs ops.lz77.match_lengths under the same round
+        cap (reference byte loop: libflate_lz77/src/default.rs:111-129)."""
+        monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+        from libflate_tpu.ops.pallas_lcp import match_lengths_pallas
+
+        rng = np.random.default_rng(11)
+        B, n, rounds = 4, 2048, 8
+        blocks = _mixed_blocks(rng, B, n)[:B]
+        n_valid = np.full(B, n, np.int32)
+        n_valid[2] = 1234
+        blocks_j, nv = jnp.asarray(blocks), jnp.asarray(n_valid)
+
+        cand = jax.vmap(lz77.prefix_candidates)(blocks_j)
+        idx = np.arange(n, dtype=np.int32)[None, :]
+        cand = jnp.where(jnp.asarray(idx) < nv[:, None], cand, -1)
+
+        ref = jax.vmap(lambda d, c: lz77.match_lengths(
+            d, c, max_rounds=rounds))(blocks_j, cand)
+        lim = np.maximum(n_valid[:, None] - idx, 0)
+        ref = np.minimum(np.asarray(ref), lim)
+        ref = np.where(np.asarray(cand) >= 0, ref, 0)
+
+        got = np.asarray(match_lengths_pallas(blocks_j, cand, nv,
+                                              max_rounds=rounds))
+        got = np.minimum(np.where(np.asarray(cand) >= 0, got, 0), lim)
+        assert np.array_equal(ref, got)
+        assert (ref >= 3).sum() > 100     # the corpus really has matches
+
     def test_lazy_tokens_roundtrip_and_shrink(self, monkeypatch):
         """Default lazy+TOO_FAR path: tokens expand back to the input
         and never exceed the greedy token stream's bit cost class."""

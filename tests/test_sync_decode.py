@@ -55,8 +55,10 @@ class TestSyncKernel:
             jnp.asarray(bfinal), K))
         a, b, _ = map(np.asarray, _tokenize_batch(
             jnp.asarray(blocks), jnp.asarray(n_valid)))
+        valid = (np.arange(a.shape[1], dtype=np.int32)[None, :]
+                 < cnt[:, None])
         lit_l, dist_l, *_r = _shared_stats(
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(cnt), 12)
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid), 12)
         lit_t = decode_table(jnp.asarray(lit_l), 12)
         dist_t = decode_table(jnp.asarray(dist_l), 8)
 
