@@ -195,17 +195,26 @@ def _fields_batch_pallas(a, b, cnt, bfinal):
     return values, widths
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",))
-def _shared_stats(a, b, valid, max_len: int = 12):
+@functools.partial(jax.jit, static_argnames=("max_len", "use_kernel"))
+def _shared_stats(a, b, valid, max_len: int = 12,
+                  use_kernel: bool = False):
     """Batch-global histogram → one shared code set + encoder tables.
 
     ``valid``: (B, M) bool slot mask (padded parse) — compacted callers
-    pass ``idx < cnt``.
+    pass ``idx < cnt``.  ``use_kernel`` routes the histogram through the
+    Pallas per-lane bin table (ops/pallas_hist) instead of XLA
+    scatter-adds (267 ms → ~10 ms per 8 MiB on the v5e).
     """
     from .deflate_encode import _encoder_tables, token_histograms_masked
     from .huffman import package_merge_lengths
 
-    lit_freq, dist_freq = jax.vmap(token_histograms_masked)(a, b, valid)
+    if use_kernel:
+        from .pallas_hist import shared_histograms_pallas
+        lit_sum, dist_sum = shared_histograms_pallas(a, b, valid)
+        lit_freq, dist_freq = lit_sum[None, :], dist_sum[None, :]
+    else:
+        lit_freq, dist_freq = jax.vmap(token_histograms_masked)(a, b,
+                                                                valid)
     lit_lengths = package_merge_lengths(jnp.sum(lit_freq, axis=0), max_len)
     # distance alphabet is 30 symbols: an 8-bit cap costs <0.1% ratio
     # and keeps the decoder's distance root table at 2 lane-shuffle
@@ -279,7 +288,8 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12,
     if valid is None:
         valid = _valid_from_count(a, cnt)
     (lit_lengths, dist_lengths, lit_rev, lit_w,
-     dist_rev, dist_w) = _shared_stats(a, b, valid, max_len)
+     dist_rev, dist_w) = _shared_stats(a, b, valid, max_len,
+                                       _use_pallas())
     hdrv, hdrw, lenv, lenw = _shared_header(lit_lengths, dist_lengths)
 
     if _use_pallas():
