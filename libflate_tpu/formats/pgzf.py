@@ -251,35 +251,51 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     sync = btype == "shared"
     words_l, bits_l, crcs_l, cnt_l, offs_l = [], [], [], [], []
     bfinal_j = jnp.asarray(bfinal)
+    # Phase 1 — dispatch every batch (async): batch g+1's device compute
+    # overlaps batch g's D2H drain below.
+    pend = []
     for g in range(n_batches):
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
         if sync:
             from ..ops.pallas_sync_decode import SYNC_TOKENS
-            from ..ops.pipeline import _encode_batch_sync
-            w, bts, cnt, offs = _encode_batch_sync(
+            from ..ops.pipeline import _encode_batch_sync_packed
+            w, small = _encode_batch_sync_packed(
                 jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
                 bfinal_j, SYNC_TOKENS)
-            cnt_l.append(np.asarray(cnt))
-            offs_l.append(np.asarray(offs))
+            pend.append((w, small))
         else:
             w, bts = _encode_batch(jnp.asarray(blocks[sl]),
                                    jnp.asarray(n_valid[sl]), bfinal_j,
                                    btype)
-        # D2H only the words actually used (the packer's buffer is sized
-        # for the worst case; transferring it whole is ~20x the data,
-        # and D2H rides a slow tunnel in this container)
-        bts_np = np.asarray(bts)
+            pend.append((w, bts))
+    # Phase 2 — drain.  One packed (B, 3+S) D2H carries bits, token
+    # counts, member CRCs (f-values computed on the device-resident
+    # blocks) and the sync index; words D2H is sliced to the bits
+    # actually produced (the packer buffer is worst-case-sized, and D2H
+    # rides a slow tunnel in this container).
+    from ..ops.checksum import crc32_from_padded_f
+    for g in range(n_batches):
+        sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
+        w, rest = pend[g]
+        if sync:
+            small = np.asarray(rest)
+            bts_np = small[:, 0]
+            cnt_l.append(small[:, 1])
+            crcs_l.append(crc32_from_padded_f(small[:, 2], n_valid[sl],
+                                              member_size))
+            offs_l.append(small[:, 3:])
+        else:
+            bts_np = np.asarray(rest)
+            right = np.zeros((DEV_BATCH, member_size), np.uint8)
+            for k in range(DEV_BATCH):
+                ln = int(n_valid[sl][k])
+                if ln:
+                    right[k, member_size - ln:] = blocks[sl][k, :ln]
+            crcs_l.append(crc32_batch_jax(jnp.asarray(right), n_valid[sl]))
         wmax = int(bts_np.max(initial=1) + 31) // 32 + 1
         wmax = min(-(-wmax // 2048) * 2048, w.shape[1])
         words_l.append(np.asarray(w[:, :wmax]))
         bits_l.append(bts_np)
-        # batched CRC over right-aligned rows
-        right = np.zeros((DEV_BATCH, member_size), np.uint8)
-        for k in range(DEV_BATCH):
-            ln = int(n_valid[sl][k])
-            if ln:
-                right[k, member_size - ln:] = blocks[sl][k, :ln]
-        crcs_l.append(crc32_batch_jax(jnp.asarray(right), n_valid[sl]))
     # batches may have different sliced widths; pad to the widest
     wpad = max(wl.shape[1] for wl in words_l)
     words = np.zeros((b_pad, wpad), np.uint32)

@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <algorithm>
 #include <atomic>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -889,6 +890,109 @@ int lf_inflate_pair(const uint8_t* sA, uint64_t nA, uint8_t* dA, uint64_t capA,
 }
 
 // ---------------------------------------------------------------------------
+// Shared-table quad-interleaved inflate (PGZF shared mode).
+//
+// The shared-table PGZF encoder transmits ONE batch-global code set, so
+// every member's deflate header is byte-identical.  The pair decoder
+// above still builds per-stream tables (2 full sets ≈ 12 KiB is why a
+// 4-way interleave measured slower: 24 KiB+ of tables thrashes L1).
+// Detecting the shared header lets FOUR streams interleave over a
+// single table pair (≈ 6 KiB), hiding more of the per-symbol
+// load→shift→index dependency chain in the out-of-order core.
+// ---------------------------------------------------------------------------
+struct SharedCtx {
+    std::unique_ptr<uint32_t[]> lit_table;   // 2^15 each (2-level max)
+    std::unique_ptr<uint32_t[]> dist_table;
+    int lit_bits = 0, dist_bits = 0;
+    uint64_t header_bits = 0;     // BFINAL+BTYPE+dynamic header bit length
+    const uint8_t* pattern = nullptr;  // member-0 body (header byte pattern)
+    uint64_t full_bytes = 0;      // whole header bytes to compare
+    uint8_t last_mask = 0;        // mask for the trailing partial byte
+    bool ok = false;
+};
+
+static void shared_setup(SharedCtx* sh, const uint8_t* body, uint64_t len) {
+    sh->ok = false;
+    if (len < 2 || (body[0] & 7) != 5) return;   // BFINAL=1, BTYPE=dynamic
+    BitIn b; bi_init(&b, body, len, 0);
+    bi_skip(&b, 3);
+    int32_t ll[286], dl[30];
+    if (parse_dyn_header(&b, ll, dl) != 0) return;
+    sh->lit_table.reset(new uint32_t[1 << 15]);
+    sh->dist_table.reset(new uint32_t[1 << 15]);
+    if (!build_table_auto(ll, 286, sh->lit_table.get(), 10, false,
+                          &sh->lit_bits))
+        return;
+    bool any_dist = false;
+    for (int i = 0; i < 30; i++) any_dist |= dl[i] != 0;
+    if (any_dist) {
+        if (!build_table_auto(dl, 30, sh->dist_table.get(), 9, true,
+                              &sh->dist_bits))
+            return;
+    } else {
+        sh->dist_bits = 1;
+        memset(sh->dist_table.get(), 0, sizeof(uint32_t) << 1);
+    }
+    sh->header_bits = bi_bitpos(&b);
+    sh->pattern = body;
+    sh->full_bytes = sh->header_bits >> 3;
+    sh->last_mask = (uint8_t)((1u << (sh->header_bits & 7)) - 1);
+    sh->ok = true;
+}
+
+static inline bool shared_matches(const SharedCtx& sh, const uint8_t* body,
+                                  uint64_t len) {
+    if (len <= sh.full_bytes + 1) return false;
+    if (memcmp(body, sh.pattern, sh.full_bytes) != 0) return false;
+    if (sh.last_mask &&
+        ((body[sh.full_bytes] ^ sh.pattern[sh.full_bytes]) & sh.last_mask))
+        return false;
+    return true;
+}
+
+// Decode 4 shared-header streams in lockstep; k-th stream's error is
+// returned as -(1000*(k+1)) - |rc|.  Streams hand over to the resumable
+// decode_huff_block when the interleaved loop's margins run out.
+static int lf_inflate_quad_shared(const SharedCtx& sh,
+                                  const uint8_t* const* s,
+                                  const uint64_t* n, uint8_t* const* d,
+                                  const uint64_t* cap, uint64_t* on) {
+    DualSt st[4];
+    for (int k = 0; k < 4; k++) {
+        bi_init(&st[k].b, s[k], n[k], sh.header_bits);
+        st[k].o = 0;
+        st[k].state = 0;
+    }
+    const uint32_t lm = (1u << sh.lit_bits) - 1;
+    const uint32_t dm = (1u << sh.dist_bits) - 1;
+    const uint32_t* lt = sh.lit_table.get();
+    const uint32_t* dt = sh.dist_table.get();
+    for (;;) {
+        bool go = true;
+        for (int k = 0; k < 4; k++)
+            go &= st[k].state == 0 && st[k].o + 274 <= cap[k]
+                  && st[k].b.pos + 16 <= st[k].b.size;
+        if (!go) break;
+        bi_fill(&st[0].b); bi_fill(&st[1].b);
+        bi_fill(&st[2].b); bi_fill(&st[3].b);
+        dual_step(&st[0], lt, lm, dt, dm, d[0]);
+        dual_step(&st[1], lt, lm, dt, dm, d[1]);
+        dual_step(&st[2], lt, lm, dt, dm, d[2]);
+        dual_step(&st[3], lt, lm, dt, dm, d[3]);
+    }
+    for (int k = 0; k < 4; k++) {
+        if (st[k].state == 0) {
+            int rc = decode_huff_block(&st[k].b, lt, sh.lit_bits, dt,
+                                       sh.dist_bits, d[k], &st[k].o, cap[k]);
+            st[k].state = rc < 0 ? rc : 1;
+        }
+        if (st[k].state < 0) return -1000 * (k + 1) + st[k].state;
+        on[k] = st[k].o;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Serial inflate
 //   returns: 0 ok; <0 error; sets *out_n, *end_bit
 // ---------------------------------------------------------------------------
@@ -1526,6 +1630,11 @@ int lf_inflate_batch_at(const uint8_t* base, const uint64_t* starts,
     crc_init();
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> bad{-1};
+    // shared-table detection: one table pair serves a 4-way interleave
+    // when members transmit the byte-identical PGZF shared header
+    SharedCtx shared;
+    if (batch >= 4 && ends[0] > starts[0])
+        shared_setup(&shared, base + starts[0], ends[0] - starts[0]);
     auto one = [&](int32_t i) -> bool {
         uint64_t body_len = ends[i] - starts[i];
         uint64_t cap = out_offsets[i + 1] - out_offsets[i];
@@ -1536,39 +1645,72 @@ int lf_inflate_batch_at(const uint8_t* base, const uint64_t* starts,
         if (crcs) crcs[i] = lf_crc32(out + out_offsets[i], on, 0);
         return true;
     };
+    // pair-or-single fallback for members i, i+1 (bounds-checked)
+    auto two = [&](int32_t i) -> bool {
+        if (i + 1 < batch) {
+            // interleaved pair path when both members have the
+            // single-final-dynamic-block shape (first 3 bits 0b101)
+            uint64_t lenA = ends[i] - starts[i];
+            uint64_t lenB = ends[i+1] - starts[i+1];
+            if (lenA > 0 && lenB > 0 &&
+                (base[starts[i]] & 7) == 5 && (base[starts[i+1]] & 7) == 5) {
+                uint64_t capA = out_offsets[i + 1] - out_offsets[i];
+                uint64_t capB = out_offsets[i + 2] - out_offsets[i + 1];
+                uint64_t onA = 0, onB = 0;
+                int rc = lf_inflate_pair(
+                    base + starts[i], lenA, out + out_offsets[i], capA, &onA,
+                    base + starts[i+1], lenB, out + out_offsets[i+1], capB, &onB);
+                if (rc == 0) {
+                    if (onA != capA) { bad.store(i); return false; }
+                    if (onB != capB) { bad.store(i + 1); return false; }
+                    if (crcs) {
+                        crcs[i] = lf_crc32(out + out_offsets[i], onA, 0);
+                        crcs[i+1] = lf_crc32(out + out_offsets[i+1], onB, 0);
+                    }
+                    return true;
+                }
+                if (rc <= -2000) { bad.store(i + 1); return false; }
+                if (rc <= -1000) { bad.store(i); return false; }
+                // rc == -100: shape mismatch — decode singly below
+            }
+            return one(i) && one(i + 1);
+        }
+        return one(i);
+    };
+    const int step = shared.ok ? 4 : 2;
     auto worker = [&]() {
         for (;;) {
-            int32_t i = next.fetch_add(2);
+            int32_t i = next.fetch_add(step);
             if (i >= batch || bad.load() >= 0) return;
-            if (i + 1 < batch) {
-                // interleaved pair path when both members have the
-                // single-final-dynamic-block shape (first 3 bits 0b101)
-                uint64_t lenA = ends[i] - starts[i];
-                uint64_t lenB = ends[i+1] - starts[i+1];
-                if (lenA > 0 && lenB > 0 &&
-                    (base[starts[i]] & 7) == 5 && (base[starts[i+1]] & 7) == 5) {
-                    uint64_t capA = out_offsets[i + 1] - out_offsets[i];
-                    uint64_t capB = out_offsets[i + 2] - out_offsets[i + 1];
-                    uint64_t onA = 0, onB = 0;
-                    int rc = lf_inflate_pair(
-                        base + starts[i], lenA, out + out_offsets[i], capA, &onA,
-                        base + starts[i+1], lenB, out + out_offsets[i+1], capB, &onB);
-                    if (rc == 0) {
-                        if (onA != capA) { bad.store(i); return; }
-                        if (onB != capB) { bad.store(i + 1); return; }
-                        if (crcs) {
-                            crcs[i] = lf_crc32(out + out_offsets[i], onA, 0);
-                            crcs[i+1] = lf_crc32(out + out_offsets[i+1], onB, 0);
-                        }
-                        continue;
+            if (step == 4) {
+                bool quad = i + 3 < batch;
+                for (int k = 0; quad && k < 4; k++)
+                    quad = shared_matches(shared, base + starts[i + k],
+                                          ends[i + k] - starts[i + k]);
+                if (quad) {
+                    const uint8_t* s[4]; uint64_t n[4]; uint8_t* d[4];
+                    uint64_t cap[4]; uint64_t on[4];
+                    for (int k = 0; k < 4; k++) {
+                        s[k] = base + starts[i + k];
+                        n[k] = ends[i + k] - starts[i + k];
+                        d[k] = out + out_offsets[i + k];
+                        cap[k] = out_offsets[i + k + 1] - out_offsets[i + k];
                     }
-                    if (rc <= -2000) { bad.store(i + 1); return; }
-                    if (rc <= -1000) { bad.store(i); return; }
-                    // rc == -100: shape mismatch — decode singly below
+                    int rc = lf_inflate_quad_shared(shared, s, n, d, cap, on);
+                    if (rc != 0) { bad.store(i + (-rc / 1000) - 1); return; }
+                    bool sized_ok = true;
+                    for (int k = 0; k < 4; k++)
+                        if (on[k] != cap[k]) { bad.store(i + k); sized_ok = false; break; }
+                    if (!sized_ok) return;
+                    if (crcs)
+                        for (int k = 0; k < 4; k++)
+                            crcs[i + k] = lf_crc32(d[k], on[k], 0);
+                    continue;
                 }
-                if (!one(i) || !one(i + 1)) return;
+                if (!two(i)) return;
+                if (i + 2 < batch && !two(i + 2)) return;
             } else {
-                if (!one(i)) return;
+                if (!two(i)) return;
             }
         }
     };

@@ -154,6 +154,51 @@ def crc32_batch_jax(data: jnp.ndarray, lengths) -> jnp.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=())
+def crc32_f_rows(data: jnp.ndarray) -> jnp.ndarray:
+    """Raw CRC f-values of LEFT-aligned (B, N) uint8 rows.
+
+    N must be a multiple of CHUNK with N/CHUNK a power of two.  Rows are
+    processed whole (including trailing zero padding); fold the padding
+    back out host-side with :func:`crc32_from_padded_f`.  Returns (B,)
+    int32 bit patterns (bitcast of the uint32 register).
+    """
+    bsz, n = data.shape
+    m = n // CHUNK
+    f = jax.vmap(lambda row: _crc32_f_padded(row.reshape(m, CHUNK)))(data)
+    return jax.lax.bitcast_convert_type(f, jnp.int32)
+
+
+@functools.lru_cache(maxsize=1024)
+def _inv_shift_cols(pad: int) -> np.ndarray:
+    """Columns of the inverse zero-byte shift operator A_pad^{-1}."""
+    from ..utils.checksum import gf2_matrix_inverse
+    return gf2_matrix_inverse(_shift_operator(pad))
+
+
+def crc32_from_padded_f(f_rows: np.ndarray, lengths, row_bytes: int
+                        ) -> np.ndarray:
+    """Finish CRCs from :func:`crc32_f_rows` output.
+
+    ``f_rows`` are raw registers over the full row INCLUDING trailing
+    zeros; processing ``pad`` zero bytes multiplies the register by the
+    shift operator A_pad, so the true-data register is A_pad^{-1}·f.
+    """
+    f = np.asarray(f_rows).view(np.uint32)
+    lens = np.asarray(lengths)
+    out = np.zeros(len(f), np.uint32)
+    for i, (fv, ln) in enumerate(zip(f, lens)):
+        ln = int(ln)
+        if ln == 0:
+            continue
+        pad = row_bytes - ln
+        v = int(fv)
+        if pad:
+            v = _gf2_matrix_times(_inv_shift_cols(pad), v)
+        out[i] = (v ^ _init_term(ln)) ^ 0xFFFFFFFF
+    return out
+
+
 def crc32_jax(data: jnp.ndarray) -> jnp.ndarray:
     """CRC-32 of a uint8 array (device computation, host padding)."""
     n = int(data.shape[0])

@@ -408,6 +408,36 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     return words, bits, cnt, offsets
 
 
+@jax.jit
+def _pack_small(bits, cnt, crc_f, offsets):
+    """Pack the per-member scalar outputs into ONE device array.
+
+    Every host read of a device array pays a full tunnel round trip in
+    this container (~28 ms); bits/counts/CRCs/sync-offsets together are
+    a few KiB, so one packed (B, 3+S) int32 D2H replaces four.
+    """
+    return jnp.concatenate(
+        [bits.astype(jnp.int32)[:, None], cnt.astype(jnp.int32)[:, None],
+         crc_f[:, None], offsets.astype(jnp.int32)], axis=1)
+
+
+def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                              bfinal: jnp.ndarray, k: int):
+    """_encode_batch_sync + fused member CRCs, small outputs packed.
+
+    Returns (words (B, W) uint32, small (B, 3+S) int32) with small rows
+    = [bits, n_tokens, crc_f_raw, sync_offsets...].  The CRC f-values
+    are computed over the full zero-padded rows already resident on
+    device (no host re-staging, no second H2D); the caller folds the
+    padding out with ops.checksum.crc32_from_padded_f.
+    """
+    from .checksum import crc32_f_rows
+    words, bits, cnt, offsets = _encode_batch_sync(blocks, n_valid,
+                                                   bfinal, k)
+    crc_f = crc32_f_rows(blocks)
+    return words, _pack_small(bits, cnt, crc_f, offsets)
+
+
 @functools.partial(jax.jit, static_argnames=("block_type",))
 def _encode_batch_literal(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                           bfinal: jnp.ndarray, block_type: str):

@@ -108,6 +108,30 @@ def _shift_operator(nbytes: int) -> np.ndarray:
     return result
 
 
+def gf2_matrix_inverse(cols: np.ndarray) -> np.ndarray:
+    """Inverse of a 32×32 GF(2) matrix given as column vectors.
+
+    ``cols[j]`` = the matrix applied to basis vector e_j, packed as a
+    uint.  Shift operators are invertible (x is a unit mod the CRC
+    polynomial), so Gauss-Jordan over GF(2) always succeeds.
+    """
+    n = 32
+    m = [[int(cols[j]) >> i & 1 for j in range(n)] for i in range(n)]
+    inv = [[int(i == j) for j in range(n)] for i in range(n)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if m[r][col])
+        m[col], m[piv] = m[piv], m[col]
+        inv[col], inv[piv] = inv[piv], inv[col]
+        for r in range(n):
+            if r != col and m[r][col]:
+                m[r] = [a ^ b for a, b in zip(m[r], m[col])]
+                inv[r] = [a ^ b for a, b in zip(inv[r], inv[col])]
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(n):
+        out[j] = sum(inv[i][j] << i for i in range(n))
+    return out
+
+
 _shift_cache: dict[int, np.ndarray] = {}
 
 

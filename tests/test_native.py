@@ -155,3 +155,34 @@ class TestNativeEngine:
         zz = fzlib.compress(data, engine="native")
         assert pyzlib.decompress(zz) == data
         assert fzlib.decompress(zz, engine="native") == data
+
+
+class TestSharedQuadInflate:
+    """Shared-table 4-way interleaved batch inflate (PGZF shared mode)."""
+
+    def test_shared_stream_roundtrip(self):
+        # the device/shared encoder emits byte-identical member headers,
+        # which routes >=4-member batches through lf_inflate_quad_shared
+        from libflate_tpu.formats import pgzf
+        rng = np.random.default_rng(5)
+        words = [bytes(rng.integers(97, 123, int(rng.integers(3, 10)),
+                                    dtype=np.uint8)) for _ in range(500)]
+        data = b" ".join(words[int(i)]
+                         for i in rng.integers(0, 500, 120000))
+        data = data[:6 * 65536 + 1234]      # 7 members: quad + pair + single
+        stream = pgzf.compress(data, member_size=64 * 1024, engine="tpu")
+        out = pgzf.decompress(stream, engine="native", verify=True)
+        assert out == data
+
+    def test_mixed_headers_fall_back(self):
+        # per-member tables (native encoder): quad detection must reject
+        # and the pair/single fallback still round-trips
+        from libflate_tpu.formats import pgzf
+        rng = np.random.default_rng(11)
+        parts = [rng.integers(0, 256, 65536, dtype=np.uint8).tobytes(),
+                 b"a" * 65536, b"the quick brown fox " * 3277,
+                 os.urandom(65536), b"z" * 30000]
+        data = b"".join(parts)[:4 * 65536 + 30000]
+        stream = pgzf.compress(data, member_size=64 * 1024, engine="native")
+        out = pgzf.decompress(stream, engine="native", verify=True)
+        assert out == data

@@ -40,3 +40,22 @@ def test_adler32_combine_device():
     a = adler32_combine_jax(adler32_jax(_arr(x)), adler32_jax(_arr(y)),
                             len(y))
     assert int(a) == pyzlib.adler32(data)
+
+
+def test_crc32_f_rows_left_aligned():
+    """Fused encode-path CRC: left-aligned rows + host padding fold."""
+    from libflate_tpu.ops.checksum import crc32_f_rows, crc32_from_padded_f
+    rng = np.random.default_rng(7)
+    row_bytes = 4096                      # 64 chunks (power of two)
+    lens = [0, 1, 63, 64, 100, 4095, 4096]
+    rows = np.zeros((len(lens), row_bytes), np.uint8)
+    payloads = []
+    for i, ln in enumerate(lens):
+        p = rng.integers(0, 256, ln, dtype=np.uint8).tobytes()
+        rows[i, :ln] = np.frombuffer(p, np.uint8)
+        payloads.append(p)
+    f = crc32_f_rows(jnp.asarray(rows))
+    crcs = crc32_from_padded_f(np.asarray(f), np.asarray(lens), row_bytes)
+    for i, p in enumerate(payloads):
+        expect = pyzlib.crc32(p) if lens[i] else 0
+        assert int(crcs[i]) == expect, f"row {i} len {lens[i]}"
