@@ -1633,7 +1633,7 @@ int lf_inflate_batch_at(const uint8_t* base, const uint64_t* starts,
     // shared-table detection: one table pair serves a 4-way interleave
     // when members transmit the byte-identical PGZF shared header
     SharedCtx shared;
-    if (batch >= 4 && ends[0] > starts[0])
+    if (batch >= 4 && ends[0] > starts[0] && !getenv("LF_NO_QUAD"))
         shared_setup(&shared, base + starts[0], ends[0] - starts[0]);
     auto one = [&](int32_t i) -> bool {
         uint64_t body_len = ends[i] - starts[i];
