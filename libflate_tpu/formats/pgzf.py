@@ -268,22 +268,32 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
                                    jnp.asarray(n_valid[sl]), bfinal_j,
                                    btype)
             pend.append((w, bts))
-    # Phase 2 — drain.  One packed (B, 3+S) D2H carries bits, token
+    # Phase 2 — drain.  One packed (B, 4+S) D2H carries bits, token
     # counts, member CRCs (f-values computed on the device-resident
-    # blocks) and the sync index; words D2H is sliced to the bits
-    # actually produced (the packer buffer is worst-case-sized, and D2H
-    # rides a slow tunnel in this container).
+    # blocks), parse-overflow flags and the sync index; words D2H is
+    # sliced to the bits actually produced (the packer buffer is
+    # worst-case-sized, and D2H rides a slow tunnel in this container).
     from ..ops.checksum import crc32_from_padded_f
     for g in range(n_batches):
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
         w, rest = pend[g]
         if sync:
             small = np.asarray(rest)
+            if small[:, 3].any():
+                # a literal-dense member blew the per-chunk token-slot
+                # budget (ops/pipeline.PARSE_CAP): its words are
+                # incomplete.  Re-encode the batch at cap=512, which a
+                # 512-position chunk can never overflow.
+                from ..ops.pipeline import _encode_batch_sync_packed
+                w, small_d = _encode_batch_sync_packed(
+                    jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
+                    bfinal_j, SYNC_TOKENS, cap=512)
+                small = np.asarray(small_d)
             bts_np = small[:, 0]
             cnt_l.append(small[:, 1])
             crcs_l.append(crc32_from_padded_f(small[:, 2], n_valid[sl],
                                               member_size))
-            offs_l.append(small[:, 3:])
+            offs_l.append(small[:, 4:])
         else:
             bts_np = np.asarray(rest)
             right = np.zeros((DEV_BATCH, member_size), np.uint8)

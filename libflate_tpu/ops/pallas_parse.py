@@ -140,12 +140,13 @@ _WALK_SLICES = 8
 _STEPS = CHUNK // _WALK_SLICES       # 64 steps per guarded slice
 
 
-def _walk_kernel(jump_ref, tok_ref, ent_ref, out_ref, cur_ref):
+def _walk_kernel(cap, jump_ref, tok_ref, ent_ref, out_ref, ovf_ref,
+                 cur_ref, emit_ref):
     j = pl.program_id(0)
     base = j * CHUNK
     neg = jnp.full((SUB, LANES), -1, jnp.int32)
     for r in range(_TILES):
-        out_ref[pl.ds(r * SUB, SUB), :] = neg
+        emit_ref[pl.ds(r * SUB, SUB), :] = neg
 
     cur_ref[:] = ent_ref[0]
     jmp = jump_ref[:]
@@ -162,52 +163,84 @@ def _walk_kernel(jump_ref, tok_ref, ent_ref, out_ref, cur_ref):
                 local = jnp.clip(c - base, 0, CHUNK - 1)
                 tv = _gather512(tk, local)
                 nv = _gather512(jmp, local)
-                out_ref[pl.ds(sl * _STEPS + i, 1), :] = jnp.where(
+                emit_ref[pl.ds(sl * _STEPS + i, 1), :] = jnp.where(
                     in_chunk, tv, -1)
                 return jnp.where(in_chunk, nv, c)
 
             cur_ref[:] = jax.lax.fori_loop(0, _STEPS, step, cur_ref[:])
 
+    for r in range(cap // SUB):
+        out_ref[pl.ds(r * SUB, SUB), :] = emit_ref[pl.ds(r * SUB, SUB), :]
+    ovf = jnp.zeros((1, LANES), jnp.int32)
+    for r in range(cap // SUB, _TILES):
+        rows = emit_ref[pl.ds(r * SUB, SUB), :]
+        ovf = jnp.maximum(ovf, jnp.max((rows >= 0).astype(jnp.int32),
+                                       axis=0, keepdims=True))
+    ovf_ref[0] = ovf
 
-@functools.partial(jax.jit, static_argnames=())
+
+@functools.partial(jax.jit, static_argnames=("cap",))
 def parse_walk_emit(jump: jnp.ndarray, tok: jnp.ndarray,
-                    entries: jnp.ndarray) -> jnp.ndarray:
+                    entries: jnp.ndarray, cap: int = CHUNK):
     """Emit tokens in orbit order, compacted per chunk.
 
-    jump/tok: (P, 128); entries: (n_chunks, 128).  Returns (P, 128)
-    int32: chunk c's tokens at rows [512c, 512c+k) in stream order,
-    -1 rows elsewhere (holes keep downstream fields at width 0).
+    jump/tok: (P, 128); entries: (n_chunks, 128).  Returns
+    (out, ovf): out (n_chunks*cap, 128) int32 — chunk c's tokens at
+    rows [cap*c, cap*c+k) in stream order, -1 rows elsewhere (holes
+    keep downstream fields at width 0); ovf (n_chunks, 128) int32 —
+    1 where a chunk emitted more than ``cap`` tokens (those tokens are
+    DROPPED from ``out``; callers must fall back to cap=512, which is
+    lossless because a 512-position chunk emits at most 512 tokens).
+
+    ``cap`` trades slot-padding waste for a fallback: greedy parses
+    emit ~1 token per 4 positions on compressible data, so cap=256
+    halves every downstream field/pack array while overflowing only on
+    literal-dense chunks.
     """
     p_total, lanes = jump.shape
     assert lanes == LANES and p_total % CHUNK == 0
+    assert cap % SUB == 0 and 0 < cap <= CHUNK
+    n_chunks = p_total // CHUNK
     spec = pl.BlockSpec((CHUNK, LANES), lambda j: (j, 0),
                         memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((cap, LANES), lambda j: (j, 0),
+                            memory_space=pltpu.VMEM)
     # entries ride a (1, LANES) trailing block: Mosaic requires the last
     # two block dims divisible by (8, 128) OR equal to the array's — a
     # leading grid axis over chunks keeps the (1, LANES) rows legal.
     spec_ent = pl.BlockSpec((1, 1, LANES), lambda j: (j, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _walk_kernel,
-        grid=(p_total // CHUNK,),
+    spec_ovf = pl.BlockSpec((1, 1, LANES), lambda j: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, ovf = pl.pallas_call(
+        functools.partial(_walk_kernel, cap),
+        grid=(n_chunks,),
         in_specs=[spec, spec, spec_ent],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((p_total, LANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)],
+        out_specs=[spec_out, spec_ovf],
+        out_shape=[jax.ShapeDtypeStruct((n_chunks * cap, LANES),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((n_chunks, 1, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
+                        pltpu.VMEM((CHUNK, LANES), jnp.int32)],
         interpret=_interp(),
     )(jump, tok, entries.reshape(-1, 1, LANES))
+    return out, ovf.reshape(n_chunks, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("cap",))
 def parse_tokens_pallas(blocks: jnp.ndarray, n_valid: jnp.ndarray,
-                        cand: jnp.ndarray, lengths: jnp.ndarray):
+                        cand: jnp.ndarray, lengths: jnp.ndarray,
+                        cap: int = CHUNK):
     """Batch greedy parse + emit, kernel-backed.
 
     blocks: (B, n) uint8; n_valid: (B,); cand/lengths: (B, n) int32
     (lengths already 0 where < MIN_MATCH, clipped to n_valid).
 
-    Returns (a, b, valid, n_tokens): padded token arrays (B, n) int32 —
-    token slots in stream order with holes (valid False) interleaved.
+    Returns (a, b, valid, n_tokens, overflow): padded token arrays
+    (B, m) int32 with m = n*cap/512 — token slots in stream order with
+    holes (valid False) interleaved; overflow (B,) bool marks members
+    whose tokens did not fit under ``cap`` slots per 512-position
+    chunk (their a/b/cnt are INCOMPLETE — re-encode with cap=512).
     """
     bsz, n = blocks.shape
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
@@ -222,11 +255,12 @@ def parse_tokens_pallas(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     tok_t = jnp.transpose(tok).astype(jnp.int32)
     exits = parse_chunk_exits(jump_t)
     entries = parse_entries(exits)
-    out_t = parse_walk_emit(jump_t, tok_t, entries)
+    out_t, ovf_t = parse_walk_emit(jump_t, tok_t, entries, cap)
 
     out = jnp.transpose(out_t)
     valid = out >= 0
     a = jnp.where(valid, out & 511, 0)
     b = jnp.where(valid, out >> 9, 0)
     n_tokens = jnp.sum(valid.astype(jnp.int32), axis=1)
-    return a, b, valid, n_tokens
+    overflow = jnp.any(ovf_t != 0, axis=0)
+    return a, b, valid, n_tokens, overflow

@@ -105,28 +105,46 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     return cand, lengths
 
 
+#: token-slot budget per 512-position parse chunk (ops/pallas_parse).
+#: Greedy parses emit ~1 token / 4 positions on compressible data
+#: (bench corpus: mean 139, p99.9 318, max 361 per chunk), so 384
+#: trims every downstream field/pack array by 25% with zero observed
+#: overflow; literal-dense chunks that do blow the budget are detected
+#: in-kernel and the batch is re-encoded losslessly at cap=512.
+PARSE_CAP = 384
+
+
+def _parse_cap() -> int:
+    import os
+    return int(os.environ.get("LIBFLATE_PARSE_CAP", str(PARSE_CAP)))
+
+
 def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
-                     lazy: bool | None = None):
+                     lazy: bool | None = None, cap: int | None = None):
     """Kernel-backed tokenize returning PADDED stream-order tokens.
 
-    Returns (a, b, valid, n_tokens) with shape (B, n) — token slots in
-    stream order with hole slots (valid False) interleaved; downstream
-    fields give holes width 0, so the packed bits equal the compacted
-    stream's.  Greedy-parse + compaction run as Pallas kernels
-    (ops/pallas_parse) instead of XLA pointer-doubling + scatters.
+    Returns (a, b, valid, n_tokens, overflow) with token arrays of
+    shape (B, n*cap/512) — token slots in stream order with hole slots
+    (valid False) interleaved; downstream fields give holes width 0,
+    so the packed bits equal the compacted stream's.  Greedy-parse +
+    compaction run as Pallas kernels (ops/pallas_parse) instead of XLA
+    pointer-doubling + scatters.  ``overflow`` (B,) flags members that
+    did not fit the per-chunk slot budget (re-encode with cap=512).
     """
     import os
     from .pallas_lz77 import prefix_candidates_pallas
     from .pallas_parse import parse_tokens_pallas
     if lazy is None:
         lazy = os.environ.get("LIBFLATE_DEVICE_GREEDY") != "1"
+    if cap is None:
+        cap = _parse_cap()
     cand = prefix_candidates_pallas(blocks)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
         "LIBFLATE_XLA_LCP") != "1"
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
                                    use_kernel)
-    return parse_tokens_pallas(blocks, n_valid, cand, lengths)
+    return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
 
 
 def _use_padded_parse(blocks: jnp.ndarray) -> bool:
@@ -330,7 +348,9 @@ def _encode_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     64 KiB block vs ≈20 s split), while steady-state cost is identical.
     """
     if block_type == "shared" and _use_padded_parse(blocks):
-        a, b, valid, cnt = _tokenize_padded(blocks, n_valid)
+        # cap=512 here: this entry point has no overflow-fallback plumbing
+        a, b, valid, cnt, _ovf = _tokenize_padded(blocks, n_valid,
+                                                  cap=512)
         values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                               valid=valid)
         return _pack_batch(values, widths)
@@ -387,55 +407,65 @@ def _sync_offsets_padded(widths: jnp.ndarray, valid: jnp.ndarray, k: int):
 
 
 def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
-                       bfinal: jnp.ndarray, k: int):
+                       bfinal: jnp.ndarray, k: int,
+                       cap: int | None = None):
     """Shared-table batch encode that also returns the sync index.
 
-    Returns (words (B, W), bits (B,), n_tokens (B,), offsets (B, S)) —
-    ``offsets[i, j]`` is the absolute bit position of member i's token
-    ``k*j`` (the input to the PGZF "LS" subfield / sync decode kernel).
+    Returns (words (B, W), bits (B,), n_tokens (B,), offsets (B, S),
+    overflow (B,)) — ``offsets[i, j]`` is the absolute bit position of
+    member i's token ``k*j`` (the input to the PGZF "LS" subfield /
+    sync decode kernel); ``overflow`` flags members whose parse
+    exceeded the per-chunk slot budget (their words/bits are
+    INCOMPLETE — re-encode them with cap=512).
     """
     if _use_padded_parse(blocks):
-        a, b, valid, cnt = _tokenize_padded(blocks, n_valid)
+        a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid,
+                                                 cap=cap)
         values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                               valid=valid)
         words, bits = _pack_batch(values, widths)
         offsets = _sync_offsets_padded(widths, valid, k)
-        return words, bits, cnt, offsets
+        return words, bits, cnt, offsets, ovf
     a, b, cnt = _tokenize_batch_any(blocks, n_valid)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal)
     words, bits = _pack_batch(values, widths)
     offsets = _sync_offsets_batch(widths, k)
-    return words, bits, cnt, offsets
+    return words, bits, cnt, offsets, jnp.zeros(
+        (blocks.shape[0],), jnp.bool_)
 
 
 @jax.jit
-def _pack_small(bits, cnt, crc_f, offsets):
+def _pack_small(bits, cnt, crc_f, ovf, offsets):
     """Pack the per-member scalar outputs into ONE device array.
 
     Every host read of a device array pays a full tunnel round trip in
-    this container (~28 ms); bits/counts/CRCs/sync-offsets together are
-    a few KiB, so one packed (B, 3+S) int32 D2H replaces four.
+    this container (~28 ms); bits/counts/CRCs/overflow/sync-offsets
+    together are a few KiB, so one packed (B, 4+S) int32 D2H replaces
+    five.
     """
     return jnp.concatenate(
         [bits.astype(jnp.int32)[:, None], cnt.astype(jnp.int32)[:, None],
-         crc_f[:, None], offsets.astype(jnp.int32)], axis=1)
+         crc_f[:, None], ovf.astype(jnp.int32)[:, None],
+         offsets.astype(jnp.int32)], axis=1)
 
 
 def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
-                              bfinal: jnp.ndarray, k: int):
+                              bfinal: jnp.ndarray, k: int,
+                              cap: int | None = None):
     """_encode_batch_sync + fused member CRCs, small outputs packed.
 
-    Returns (words (B, W) uint32, small (B, 3+S) int32) with small rows
-    = [bits, n_tokens, crc_f_raw, sync_offsets...].  The CRC f-values
-    are computed over the full zero-padded rows already resident on
-    device (no host re-staging, no second H2D); the caller folds the
-    padding out with ops.checksum.crc32_from_padded_f.
+    Returns (words (B, W) uint32, small (B, 4+S) int32) with small rows
+    = [bits, n_tokens, crc_f_raw, overflow, sync_offsets...].  The CRC
+    f-values are computed over the full zero-padded rows already
+    resident on device (no host re-staging, no second H2D); the caller
+    folds the padding out with ops.checksum.crc32_from_padded_f.
+    Members with overflow=1 must be re-encoded at cap=512.
     """
     from .checksum import crc32_f_rows
-    words, bits, cnt, offsets = _encode_batch_sync(blocks, n_valid,
-                                                   bfinal, k)
+    words, bits, cnt, offsets, ovf = _encode_batch_sync(
+        blocks, n_valid, bfinal, k, cap)
     crc_f = crc32_f_rows(blocks)
-    return words, _pack_small(bits, cnt, crc_f, offsets)
+    return words, _pack_small(bits, cnt, crc_f, ovf, offsets)
 
 
 @functools.partial(jax.jit, static_argnames=("block_type",))

@@ -51,8 +51,9 @@ class TestParseKernels:
         lengths = jnp.minimum(lengths, jnp.maximum(nv[:, None] - idx, 0))
         lengths = jnp.where(lengths >= 3, lengths, 0)
 
-        a, b, valid, n_tok = map(np.asarray, parse_tokens_pallas(
+        a, b, valid, n_tok, ovf = map(np.asarray, parse_tokens_pallas(
             blocks_j, nv, cand_m, lengths))
+        assert not ovf.any()          # cap=512 can never overflow
         assert (n_tok == rcnt).all()
         for i in range(B):
             assert np.array_equal(a[i][valid[i]], ra[i][:rcnt[i]]), i
@@ -75,8 +76,9 @@ class TestParseKernels:
         bfinal = jnp.ones((B,), jnp.int32)
 
         assert pp._use_padded_parse(blocks_j)
-        w1, b1, cnt1, off1 = pp._encode_batch_sync(blocks_j, nv_j,
-                                                   bfinal, 256)
+        w1, b1, cnt1, off1, ovf1 = pp._encode_batch_sync(
+            blocks_j, nv_j, bfinal, 256, cap=512)
+        assert not np.asarray(ovf1).any()
 
         cand = prefix_candidates_pallas(blocks_j)
         a, b, cnt = pp._tokenize_tail(blocks_j, nv_j, cand)
@@ -138,10 +140,10 @@ class TestParseKernels:
         blocks[5, 513:] = 0
         blocks_j, nv_j = jnp.asarray(blocks), jnp.asarray(nv)
 
-        a, b, valid, cnt = map(np.asarray, pp._tokenize_padded(
-            blocks_j, nv_j, lazy=True))
-        ag, bg, vg, cg = map(np.asarray, pp._tokenize_padded(
-            blocks_j, nv_j, lazy=False))
+        a, b, valid, cnt, _ = map(np.asarray, pp._tokenize_padded(
+            blocks_j, nv_j, lazy=True, cap=512))
+        ag, bg, vg, cg, _ = map(np.asarray, pp._tokenize_padded(
+            blocks_j, nv_j, lazy=False, cap=512))
         for i in (0, 1, 5, 64, 127):
             toks = list(zip(a[i][valid[i]].tolist(),
                             b[i][valid[i]].tolist()))
@@ -154,3 +156,51 @@ class TestParseKernels:
             toks = list(zip(ag[i][vg[i]].tolist(), bg[i][vg[i]].tolist()))
             assert bytes(expand_tokens(toks)) == \
                 blocks[i, :nv[i]].tobytes()
+
+
+class TestParseCap:
+    def test_capped_parse_flags_only_dense_lanes(self, monkeypatch):
+        """cap < 512: literal-dense chunks overflow (flagged); lanes
+        that fit keep token streams identical to the uncapped parse."""
+        monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+        from libflate_tpu.ops.pallas_parse import parse_tokens_pallas
+
+        rng = np.random.default_rng(5)
+        B, n, cap = 128, 2048, 256
+        blocks = _mixed_blocks(rng, B, n)   # lane 0 incompressible
+        nv = jnp.asarray(np.full(B, n, np.int32))
+        blocks_j = jnp.asarray(blocks)
+
+        cand = jax.vmap(lz77.prefix_candidates)(blocks_j)
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+        cand = jnp.where(idx < nv[:, None], cand, -1)
+        lengths = jax.vmap(lz77.match_lengths)(blocks_j, cand)
+        lengths = jnp.minimum(lengths, jnp.maximum(nv[:, None] - idx, 0))
+        lengths = jnp.where(lengths >= 3, lengths, 0)
+
+        fa, fb, fv, fcnt, fovf = map(np.asarray, parse_tokens_pallas(
+            blocks_j, nv, cand, lengths))
+        ca, cb, cv, ccnt, covf = map(np.asarray, parse_tokens_pallas(
+            blocks_j, nv, cand, lengths, cap))
+        assert not fovf.any()
+        assert covf[0]                       # all-literal chunks: 512 > cap
+        assert not covf[1]                   # giant run: ~1 token/chunk
+        assert covf.mean() < 0.5             # corpus lanes mostly fit
+        for i in range(B):
+            if covf[i]:
+                continue
+            assert ccnt[i] == fcnt[i], i
+            assert np.array_equal(ca[i][cv[i]], fa[i][fv[i]]), i
+            assert np.array_equal(cb[i][cv[i]], fb[i][fv[i]]), i
+
+    def test_pgzf_fallback_roundtrips_tiny_cap(self, monkeypatch):
+        """With an absurdly small slot budget every member overflows;
+        the pgzf device encoder must detect it and re-encode at 512."""
+        monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("LIBFLATE_PARSE_CAP", "8")
+        from libflate_tpu.formats import pgzf
+
+        rng = np.random.default_rng(9)
+        data = _mixed_blocks(rng, 4, 2048).tobytes()
+        stream = pgzf.compress(data, member_size=2048, engine="tpu")
+        assert pgzf.decompress(stream, engine="serial") == data

@@ -50,7 +50,7 @@ class TestSyncKernel:
             n_valid[i] = len(chunk)
         bfinal = np.ones((B,), np.int32)
 
-        words, bits, cnt, offs = map(np.asarray, _encode_batch_sync(
+        words, bits, cnt, offs, _ovf = map(np.asarray, _encode_batch_sync(
             jnp.asarray(blocks), jnp.asarray(n_valid),
             jnp.asarray(bfinal), K))
         a, b, _ = map(np.asarray, _tokenize_batch(
