@@ -258,9 +258,15 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
         if sync:
             from ..ops.pallas_sync_decode import SYNC_TOKENS
-            from ..ops.pipeline import _encode_batch_sync_packed
-            w, small = _encode_batch_sync_packed(
-                jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
+            from ..ops.pipeline import (_encode_batch_sync_cols,
+                                        _encode_batch_sync_packed,
+                                        use_cols_encoder)
+            blocks_j = jnp.asarray(blocks[sl])
+            kernel_pack = use_cols_encoder(blocks_j)
+            enc = (_encode_batch_sync_cols if kernel_pack
+                   else _encode_batch_sync_packed)
+            w, small = enc(
+                blocks_j, jnp.asarray(n_valid[sl]),
                 bfinal_j, SYNC_TOKENS)
             pend.append((w, small))
         else:
@@ -278,14 +284,20 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
         w, rest = pend[g]
         if sync:
+            from ..ops.pipeline import (_stitch_cols_device,
+                                        use_cols_encoder)
+            kernel_pack = use_cols_encoder(blocks[sl])
             small = np.asarray(rest)
             if small[:, 3].any():
                 # a literal-dense member blew the per-chunk token-slot
                 # budget (ops/pipeline.PARSE_CAP): its words are
                 # incomplete.  Re-encode the batch at cap=512, which a
                 # 512-position chunk can never overflow.
-                from ..ops.pipeline import _encode_batch_sync_packed
-                w, small_d = _encode_batch_sync_packed(
+                from ..ops.pipeline import (_encode_batch_sync_cols,
+                                            _encode_batch_sync_packed)
+                enc = (_encode_batch_sync_cols if kernel_pack
+                       else _encode_batch_sync_packed)
+                w, small_d = enc(
                     jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
                     bfinal_j, SYNC_TOKENS, cap=512)
                 small = np.asarray(small_d)
@@ -293,7 +305,25 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
             cnt_l.append(small[:, 1])
             crcs_l.append(crc32_from_padded_f(small[:, 2], n_valid[sl],
                                               member_size))
-            offs_l.append(small[:, 4:])
+            if kernel_pack:
+                # per-chunk word columns: slice to the widest REAL
+                # chunk (columns are worst-case deep), then OR them
+                # into member word rows on device; `w` falls through
+                # to the common sliced-words D2H below
+                n_ch = w.shape[1]
+                starts = small[:, -(n_ch + 1):].astype(np.int64)
+                offs_l.append(small[:, 4:-(n_ch + 1)])
+                word0 = starts[:, :n_ch] >> 5
+                nw = int(np.max(np.maximum(
+                    (starts[:, 1:] + 31) // 32 - word0, 0), initial=1))
+                nw = min(-(-max(nw, 1) // 32) * 32, w.shape[2])
+                w_out = int(bts_np.max(initial=1) + 31) // 32 + 1
+                w_out = -(-w_out // 2048) * 2048
+                w = _stitch_cols_device(
+                    w[:, :, :nw], jnp.asarray(word0.astype(np.int32)),
+                    w_out)
+            else:
+                offs_l.append(small[:, 4:])
         else:
             bts_np = np.asarray(rest)
             right = np.zeros((DEV_BATCH, member_size), np.uint8)

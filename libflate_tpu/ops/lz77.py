@@ -282,6 +282,17 @@ def tokenize_block_from_cand(data: jnp.ndarray, n_valid: jnp.ndarray,
     # forbid matches that start in or reach past the valid region only
     cand = jnp.where(idx < n_valid, cand, -1)
     lengths = match_lengths(data, cand, max_match, max_rounds)
+    # dist-1 (RLE) matches are exact by arithmetic, independent of the
+    # round cap — keeps this fallback token-identical to the kernel
+    # path (ops/pipeline._lengths_stage applies the same rule)
+    neq = jnp.concatenate(
+        [data[1:] != data[:-1], jnp.ones((1,), jnp.bool_)])
+    first_neq = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(neq, idx, n), reverse=True)
+    rle_len = jnp.clip(first_neq + 1 - idx, 0, max_match)
+    is_rle = (cand == idx - 1) & jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), ~neq[:-1]])
+    lengths = jnp.where(is_rle, jnp.maximum(lengths, rle_len), lengths)
     lengths = jnp.minimum(lengths, jnp.maximum(n_valid - idx, 0))
     lengths = jnp.where(lengths >= C.MIN_MATCH, lengths, 0)
 

@@ -33,7 +33,6 @@ LANES = 128
 SUB = 8
 ROWS = 512                  # 64 Ki positions / 128 lanes (TPU shape)
 N = ROWS * LANES            # 65536 positions per member
-_WIN_GROUPS = 34            # 32 KiB history + vreg span, in 8-row groups
 MAX_MATCH = 258
 
 
@@ -56,10 +55,10 @@ def _gather_window(w4_ref, tgt, start_group, n_groups: int):
     return acc
 
 
-def _lcp_kernel(max_rounds, groups, w4_ref, cand_ref, nv_ref, out_ref):
+def _lcp_kernel(max_rounds, groups, win_groups, w4_ref, cand_ref,
+                nv_ref, out_ref):
     b = pl.program_id(0)
     n = groups * SUB * LANES
-    win_groups = min(_WIN_GROUPS, groups)
     pos_groups = min(2, groups)
     nv = nv_ref[b, 0]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
@@ -107,18 +106,26 @@ def _lcp_kernel(max_rounds, groups, w4_ref, cand_ref, nv_ref, out_ref):
     jax.lax.fori_loop(0, groups, vreg_step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds",))
+@functools.partial(jax.jit, static_argnames=("max_rounds", "window"))
 def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
                          n_valid: jnp.ndarray,
-                         max_rounds: int = 32) -> jnp.ndarray:
+                         max_rounds: int = 32,
+                         window: int = 32768) -> jnp.ndarray:
     """(B, 65536) uint8 blocks + (B, 65536) int32 candidates →
     (B, n) int32 match lengths (see module docstring for the exact
     clip semantics).  B members run one per grid program; n must be a
-    multiple of 1024 (8 sublanes × 128 lanes)."""
+    multiple of 1024 (8 sublanes × 128 lanes).
+
+    ``window``: maximum candidate distance the caller guarantees
+    (multiple of 1024; candidates farther back MUST already be -1).
+    The sweep visits window//1024 + 2 row groups per round, so a
+    shrunk match window cuts the kernel cost near-linearly."""
     bsz, n = blocks.shape
     assert n % (SUB * LANES) == 0
+    assert window % 1024 == 0 and window > 0
     rows = n // LANES
     groups = rows // SUB
+    win_groups = min(window // 1024 + 2, groups)
     d = blocks.astype(jnp.uint32)
     pad = jnp.zeros((bsz, 3), jnp.uint32)
     dd = jnp.concatenate([d, pad], axis=1)
@@ -131,8 +138,8 @@ def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
                            memory_space=pltpu.SMEM)
 
     def kernel(w4_r, cand_r, nv_r, out_r):
-        _lcp_kernel(max_rounds, groups, w4_r.at[0], cand_r.at[0], nv_r,
-                    out_r.at[0])
+        _lcp_kernel(max_rounds, groups, win_groups, w4_r.at[0],
+                    cand_r.at[0], nv_r, out_r.at[0])
 
     out = pl.pallas_call(
         kernel,

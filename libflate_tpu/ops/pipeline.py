@@ -34,11 +34,14 @@ def _tokenize_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray):
         blocks, n_valid)
 
 
-#: LCP extension rounds on the hash path: matches cap at ~128 bytes.
-#: One straggler 258-byte match otherwise drags all lanes through 65
-#: gather rounds; the ratio cost of truncation is well under the hash
-#: table's own approximation noise.
-TAIL_LCP_ROUNDS = 32
+#: LCP extension round cap on the hash path (4 bytes per round).
+#: Kernel cost scales with rounds (a tile stays live while ANY lane
+#: extends), and dist-1 runs — the dominant source of long matches —
+#: are exact via the arithmetic RLE rule (here and in
+#: lz77.tokenize_block_from_cand), so a low cap only truncates rare
+#: non-RLE matches past cap*4 bytes (bench-corpus ratio: unchanged at
+#: 8 rounds vs 32; tokenize slope 128 -> 85 ms / 8 MiB).
+KERNEL_LCP_ROUNDS = 8
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -48,7 +51,7 @@ def _tokenize_tail(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     n = blocks.shape[1]
     return jax.vmap(
         lambda blk, nv, cd: tokenize_block_from_cand(
-            blk, nv, n + 1, cd, max_rounds=TAIL_LCP_ROUNDS)
+            blk, nv, n + 1, cd, max_rounds=KERNEL_LCP_ROUNDS)
     )(blocks, n_valid, cand)
 
 
@@ -63,10 +66,11 @@ def _tokenize_batch_any(blocks: jnp.ndarray, n_valid: jnp.ndarray):
     return _tokenize_batch(blocks, n_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("lazy", "use_kernel"))
+@functools.partial(jax.jit, static_argnames=("lazy", "use_kernel",
+                                              "window"))
 def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                    cand: jnp.ndarray, lazy: bool = False,
-                   use_kernel: bool = False):
+                   use_kernel: bool = False, window: int = 32768):
     """Candidate masking + LCP (+ TOO_FAR / lazy heuristics).
 
     ``use_kernel`` routes the LCP through the Pallas member-in-VMEM
@@ -85,14 +89,32 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     n = blocks.shape[1]
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     cand = jnp.where(idx < n_valid[:, None], cand, -1)
+    # dist-1 (RLE) matches — the common source of long matches — are
+    # exact by arithmetic: LCP(i, i-1) = run end - i, where a run end
+    # is the first j >= i with data[j] != data[j+1].  With runs handled
+    # here, the gather path's round cap can stay low — one long match
+    # per 1024-lane tile otherwise drags the whole tile through every
+    # round (measured: rounds, not window width, bound the LCP kernel).
+    neq = jnp.concatenate(
+        [blocks[:, 1:] != blocks[:, :-1],
+         jnp.ones((blocks.shape[0], 1), jnp.bool_)], axis=1)
+    first_neq = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(neq, idx, n), reverse=True, axis=1)
+    rle_len = jnp.clip(first_neq + 1 - idx, 0, C.MAX_MATCH)
+    is_rle = (cand == idx - 1) & jnp.concatenate(
+        [jnp.zeros((blocks.shape[0], 1), jnp.bool_),
+         ~neq[:, :-1]], axis=1)
     if use_kernel:
         from .pallas_lcp import match_lengths_pallas
         lengths = match_lengths_pallas(blocks, cand, n_valid,
-                                       max_rounds=TAIL_LCP_ROUNDS)
+                                       max_rounds=KERNEL_LCP_ROUNDS,
+                                       window=window)
     else:
         lengths = jax.vmap(
-            lambda d, c: match_lengths(d, c, max_rounds=TAIL_LCP_ROUNDS)
+            lambda d, c: match_lengths(d, c,
+                                       max_rounds=KERNEL_LCP_ROUNDS)
         )(blocks, cand)
+    lengths = jnp.where(is_rle, jnp.maximum(lengths, rle_len), lengths)
     lengths = jnp.minimum(lengths, jnp.maximum(n_valid[:, None] - idx, 0))
     lengths = jnp.where(lengths >= C.MIN_MATCH, lengths, 0)
     if lazy:
@@ -138,12 +160,13 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
         lazy = os.environ.get("LIBFLATE_DEVICE_GREEDY") != "1"
     if cap is None:
         cap = _parse_cap()
-    cand = prefix_candidates_pallas(blocks)
+    window = int(os.environ.get("LIBFLATE_DEVICE_WINDOW", "32768"))
+    cand = prefix_candidates_pallas(blocks, window=window)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
         "LIBFLATE_XLA_LCP") != "1"
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
-                                   use_kernel)
+                                   use_kernel, window)
     return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
 
 
@@ -384,6 +407,93 @@ def _sync_offsets_batch(widths: jnp.ndarray, k: int):
     return cum[:, idx - 1]                   # offset of field f = cum[f-1]
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _pack_chunks_device(values: jnp.ndarray, widths: jnp.ndarray):
+    """Kernel-backed pack: assembled fields → per-chunk word columns.
+
+    Cuts each member's field stream (header + tokens + EOB — every
+    interleaved pair is <= 38 bits under the shared 12/8 code caps)
+    into 512-field slot-chunks and packs 1024 of them per grid program
+    (ops/pallas_pack).  Returns (cols (B, n_ch, D_OUT) int32 word
+    columns, starts (B, n_ch+1) int32 absolute bit offsets, bits (B,)):
+    chunk j's words OR into the member stream at word starts[j] >> 5
+    (the kernel pre-aligns to starts[j] & 31; boundary words overlap by
+    construction and OR cleanly).
+    """
+    from .pallas_pack import F_CH, SLOTS, pack_slots
+    bsz, m = values.shape
+    m_pad = -(-m // F_CH) * F_CH
+    pad = m_pad - m
+    v = jnp.pad(values.astype(jnp.int32), ((0, 0), (0, pad)))
+    w = jnp.pad(widths.astype(jnp.int32), ((0, 0), (0, pad)))
+    n_ch = m_pad // F_CH
+
+    cum = jnp.cumsum(w, axis=1)
+    bits = cum[:, -1]
+    idx = F_CH * jnp.arange(n_ch, dtype=jnp.int32)
+    starts0 = jnp.where(idx > 0, cum[:, jnp.maximum(idx - 1, 0)], 0)
+    starts = jnp.concatenate([starts0, bits[:, None]], axis=1)
+
+    s_n = bsz * n_ch
+    s_pad = -(-s_n // SLOTS) * SLOTS
+    fv = v.reshape(s_n, F_CH)
+    fw = w.reshape(s_n, F_CH)
+    k0 = (starts[:, :n_ch] & 31).reshape(s_n)
+    if s_pad != s_n:
+        fv = jnp.pad(fv, ((0, s_pad - s_n), (0, 0)))
+        fw = jnp.pad(fw, ((0, s_pad - s_n), (0, 0)))
+        k0 = jnp.pad(k0, (0, s_pad - s_n))
+    cols = pack_slots(fv, fw, k0)[:s_n]
+    return cols.reshape(bsz, n_ch, -1), starts, bits
+
+
+@functools.partial(jax.jit, static_argnames=("w_out",))
+def _stitch_cols_device(cols: jnp.ndarray, word0: jnp.ndarray,
+                        w_out: int) -> jnp.ndarray:
+    """Device stitch: OR chunk word columns into member word rows.
+
+    Every output word's contributions occupy disjoint bit ranges (each
+    chunk writes only bits [start_j, end_j) of its aligned words and
+    zeros elsewhere), so a scatter-ADD is exactly OR — and word-level
+    scatter is ~60x fewer elements than the XLA field-level pack.
+
+    cols: (B, n_ch, nw) int32 (ops/pallas_pack columns, sliced to the
+    widest real chunk); word0: (B, n_ch) int32 = starts >> 5.
+    Returns (B, w_out) uint32 member word rows.
+    """
+    bsz, n_ch, nw = cols.shape
+    idx = word0[:, :, None] + jnp.arange(nw, dtype=jnp.int32)[None, None, :]
+    out = jnp.zeros((bsz, w_out), jnp.uint32)
+    b_idx = jnp.broadcast_to(
+        jnp.arange(bsz, dtype=jnp.int32)[:, None, None], idx.shape)
+    return out.at[b_idx, idx].add(cols.astype(jnp.uint32), mode="drop")
+
+
+def stitch_chunk_cols(cols: np.ndarray, starts: np.ndarray,
+                      bits: np.ndarray) -> np.ndarray:
+    """Host stitch: OR each chunk column into its member's word row.
+
+    cols: (B, n_ch, nw) uint32/int32 (word q of chunk j = bits
+    [32q, 32(q+1)) of the chunk's aligned stream — zero outside the
+    chunk's [starts[j] & 31, +extent) bit range).  starts: (B, n_ch+1)
+    absolute bit offsets; bits: (B,) total bits.  Returns (B, W)
+    uint32 member word rows (splice_blocks_host input layout).
+    """
+    cols = cols.astype(np.uint32, copy=False)
+    bsz, n_ch, nw = cols.shape
+    w_out = int((int(bits.max(initial=0)) + 31) // 32) + 1
+    out = np.zeros((bsz, w_out), np.uint32)
+    word0 = (starts[:, :n_ch].astype(np.int64) >> 5)
+    for i in range(bsz):
+        for j in range(n_ch):
+            if starts[i, j] >= starts[i, j + 1]:
+                continue
+            b0 = int(word0[i, j])
+            n = min(int((int(starts[i, j + 1]) + 31) // 32) - b0, nw)
+            out[i, b0:b0 + n] |= cols[i, j, :n]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _sync_offsets_padded(widths: jnp.ndarray, valid: jnp.ndarray, k: int):
     """Sync offsets for the padded stream-order token layout.
@@ -447,6 +557,50 @@ def _pack_small(bits, cnt, crc_f, ovf, offsets):
         [bits.astype(jnp.int32)[:, None], cnt.astype(jnp.int32)[:, None],
          crc_f[:, None], ovf.astype(jnp.int32)[:, None],
          offsets.astype(jnp.int32)], axis=1)
+
+
+def _use_pack_kernel() -> bool:
+    """Pallas slot-pack + device stitch (default) vs the XLA scatter
+    pack.  Byte-identical; measured 52 ms vs 156 ms kernel-side and
+    0.38 s vs 0.44 s e2e per 8 MiB (LIBFLATE_PACK_KERNEL=0 opts out)."""
+    import os
+    return os.environ.get("LIBFLATE_PACK_KERNEL", "1") != "0"
+
+
+def use_cols_encoder(blocks) -> bool:
+    """True when _encode_batch_sync_cols should handle this batch:
+    the pack kernel is enabled AND the padded Pallas parse it builds
+    on is available (real TPU, or CPU interpret mode)."""
+    return _use_pack_kernel() and _use_padded_parse(blocks)
+
+
+def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
+                            bfinal: jnp.ndarray, k: int,
+                            cap: int | None = None):
+    """Shared-table sync encode via the Pallas pack kernel.
+
+    Like _encode_batch_sync_packed but the bit pack runs in
+    ops/pallas_pack (masked-sweep slot packer) instead of the XLA
+    scatter; the words come back as per-chunk COLUMNS for the host to
+    stitch (ops.pipeline.stitch_chunk_cols).
+
+    Returns (cols (B, n_ch, D_OUT), small (B, 4 + S + n_ch + 1)) with
+    small rows = [bits, n_tokens, crc_f_raw, overflow,
+    sync_offsets x S, chunk_starts x (n_ch + 1)].
+    """
+    from .checksum import crc32_f_rows
+    a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid, cap=cap)
+    values, widths = _fields_batch_shared(a, b, cnt, bfinal,
+                                          valid=valid)
+    cols, starts, bits = _pack_chunks_device(values, widths)
+    offsets = _sync_offsets_padded(widths, valid, k)
+    crc_f = crc32_f_rows(blocks)
+    small = jnp.concatenate(
+        [bits.astype(jnp.int32)[:, None],
+         cnt.astype(jnp.int32)[:, None], crc_f[:, None],
+         ovf.astype(jnp.int32)[:, None], offsets.astype(jnp.int32),
+         starts.astype(jnp.int32)], axis=1)
+    return cols, small
 
 
 def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,

@@ -204,3 +204,31 @@ class TestParseCap:
         data = _mixed_blocks(rng, 4, 2048).tobytes()
         stream = pgzf.compress(data, member_size=2048, engine="tpu")
         assert pgzf.decompress(stream, engine="serial") == data
+
+
+def test_windowed_lcp_matches_xla(monkeypatch):
+    """match_lengths_pallas(window=W) == the XLA lengths when every
+    candidate is within W (the caller masks farther ones to -1)."""
+    monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+    from libflate_tpu.ops.pallas_lcp import match_lengths_pallas
+
+    rng = np.random.default_rng(11)
+    B, n, rounds, W = 4, 4096, 8, 1024
+    blocks = _mixed_blocks(rng, B, n)[:B]
+    nv = np.full(B, n, np.int32)
+    nv[2] = 3000
+    bj, nvj = jnp.asarray(blocks), jnp.asarray(nv)
+    cand = jax.vmap(lz77.prefix_candidates)(bj)
+    idx = np.arange(n, dtype=np.int32)[None, :]
+    cand = jnp.where((jnp.asarray(idx) < nvj[:, None])
+                     & (idx - cand <= W), cand, -1)
+    ref = jax.vmap(lambda d, c: lz77.match_lengths(
+        d, c, max_rounds=rounds))(bj, cand)
+    lim = np.maximum(nv[:, None] - idx, 0)
+    ref = np.where(np.asarray(cand) >= 0,
+                   np.minimum(np.asarray(ref), lim), 0)
+    got = np.asarray(match_lengths_pallas(bj, cand, nvj,
+                                          max_rounds=rounds, window=W))
+    got = np.minimum(np.where(np.asarray(cand) >= 0, got, 0), lim)
+    assert np.array_equal(ref, got)
+    assert (ref >= 3).sum() > 1000
