@@ -619,13 +619,18 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
         counts[:s_n] = chunk_cnt
         counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
 
+        # root table sized to the stream's actual max code length (the
+        # shared-table encoder caps litlen at 10; legacy streams may
+        # use up to 12) — every row group saved is kernel time
+        rb = max(int(np.max(lit_ls[group[0]][:C.MAX_LITLEN_SYMBOLS])), 7)
         lit_t = decode_table(
-            jnp.asarray(lit_ls[group[0]][:C.MAX_LITLEN_SYMBOLS]), 12)
+            jnp.asarray(lit_ls[group[0]][:C.MAX_LITLEN_SYMBOLS]), rb)
         dist_t = decode_table(jnp.asarray(dist_ls[group[0]]), 8)
         with _maybe_stage(timer, "kernel+D2H"):
             out = np.asarray(psd.sync_decode(
                 jnp.asarray(staged), jnp.asarray(sb), jnp.asarray(counts),
-                lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), k_tok))
+                lit_t.astype(jnp.int32), dist_t.astype(jnp.int32), k_tok,
+                root_bits=rb))
         with _maybe_stage(timer, "token gather"):
             toks = psd.gather_tokens(out, s_n, k_tok)
         if os.environ.get("LIBFLATE_DEBUG_CHECKS") == "1":
@@ -772,12 +777,13 @@ def decompress_to_device(data: bytes, verify: bool = False):
     counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
     counts[:s_n] = chunk_cnt
     counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
+    rb = max(int(np.max(lit_ls[0][:C.MAX_LITLEN_SYMBOLS])), 7)
     lit_t = decode_table(
-        jnp.asarray(lit_ls[0][:C.MAX_LITLEN_SYMBOLS]), 12)
+        jnp.asarray(lit_ls[0][:C.MAX_LITLEN_SYMBOLS]), rb)
     dist_t = decode_table(jnp.asarray(dist_ls[0]), 8)
     out = psd.sync_decode(jnp.asarray(staged), jnp.asarray(sb),
                           jnp.asarray(counts), lit_t.astype(jnp.int32),
-                          dist_t.astype(jnp.int32), k_tok)
+                          dist_t.astype(jnp.int32), k_tok, root_bits=rb)
 
     # device-side reorder: one gather maps (chunk slot, token) -> the
     # member-major token sequence; indices are host-built (byte-scale)

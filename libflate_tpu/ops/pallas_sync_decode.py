@@ -14,9 +14,10 @@ stock tools).  Decode then needs zero speculation:
   load is a static slice.
 * Each slot keeps an 8-word (256-bit) bit window in vregs; a masked
   shift-by-4 refill per token step replaces per-symbol HBM gathers.
-* The shared 12-bit litlen / 8-bit distance root tables (the PGZF
-  shared-table encode guarantees code lengths <= 12/8) are VMEM
-  lane-shuffle row groups, as in the speculative kernel.
+* The shared litlen / 8-bit distance root tables (the PGZF
+  shared-table encode caps code lengths at 10/8, so the litlen root is
+  8 lane-shuffle row groups; ``root_bits`` widens to 12 for legacy
+  streams) live in VMEM, as in the speculative kernel.
 
 Output: token i of every slot lands on output row i — PERFECTLY compact
 per chunk (chunks have exactly K tokens, short-last aside), so the
@@ -78,7 +79,8 @@ DEBUG_POISON = 1 << 30
 
 def _sync_kernel(staged_ref, sb_ref, cnt_ref, lit_ref, dist_ref,
                  lb_ref, le_ref, db_ref, de_ref, out_ref,
-                 *, k_tokens: int, d_words: int, debug: bool = False):
+                 *, k_tokens: int, d_words: int, root_bits: int = ROOT_BITS,
+                 debug: bool = False):
     lit_rows = lit_ref[:]
     dist_rows = dist_ref[:]
     lb = lb_ref[:]
@@ -132,8 +134,8 @@ def _sync_kernel(staged_ref, sb_ref, cnt_ref, lit_ref, dist_ref,
 
         # ---- decode one symbol (same math as the speculative kernel)
         e = _shared_lut(lit_rows,
-                        (lo64 & ((1 << ROOT_BITS) - 1)).astype(jnp.int32),
-                        (1 << ROOT_BITS) // LANES)
+                        (lo64 & ((1 << root_bits) - 1)).astype(jnp.int32),
+                        (1 << root_bits) // LANES)
         width = e & 15
         sym = e >> 4
         is_len = sym > 256
@@ -175,10 +177,11 @@ def _sync_kernel(staged_ref, sb_ref, cnt_ref, lit_ref, dist_ref,
     jax.lax.fori_loop(0, k_tokens, step, (cursor0, wb0, *w_init))
 
 
-@functools.partial(jax.jit, static_argnames=("k_tokens",))
+@functools.partial(jax.jit, static_argnames=("k_tokens", "root_bits"))
 def sync_decode(staged: jnp.ndarray, start_bits: jnp.ndarray,
                 counts: jnp.ndarray, lit_table: jnp.ndarray,
-                dist_table: jnp.ndarray, k_tokens: int = SYNC_TOKENS):
+                dist_table: jnp.ndarray, k_tokens: int = SYNC_TOKENS,
+                root_bits: int = ROOT_BITS):
     """Decode P*1024 independent K-token chunks.
 
     Args:
@@ -188,7 +191,9 @@ def sync_decode(staged: jnp.ndarray, start_bits: jnp.ndarray,
             and cover the chunk's bit extent + 2 words of slack.
         start_bits: (P, 8, 128) int32 in [0, 32).
         counts: (P, 8, 128) int32 — tokens to decode per slot (<= K).
-        lit_table: (4096,) int32 shared 12-bit litlen root.
+        lit_table: (2**root_bits,) int32 shared litlen root (the
+            shared-table encoder caps code lengths at
+            pipeline.SHARED_MAX_LEN=10; legacy streams may need 12).
         dist_table: (256,) int32 shared 8-bit distance root.
 
     Returns:
@@ -200,7 +205,7 @@ def sync_decode(staged: jnp.ndarray, start_bits: jnp.ndarray,
     d_words = rows // SUBLANES
 
     lit_rows = lit_table.astype(jnp.int32).reshape(
-        (1 << ROOT_BITS) // LANES, LANES)
+        (1 << root_bits) // LANES, LANES)
     dist_rows = dist_table.astype(jnp.int32).reshape(
         (1 << DIST_ROOT_BITS) // LANES, LANES)
 
@@ -209,7 +214,7 @@ def sync_decode(staged: jnp.ndarray, start_bits: jnp.ndarray,
                                memory_space=pltpu.VMEM)
     spec_slot = pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    spec_tab = pl.BlockSpec(((1 << ROOT_BITS) // LANES, LANES),
+    spec_tab = pl.BlockSpec(((1 << root_bits) // LANES, LANES),
                             lambda i: (0, 0), memory_space=pltpu.VMEM)
     spec_dtab = pl.BlockSpec(((1 << DIST_ROOT_BITS) // LANES, LANES),
                              lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -219,7 +224,8 @@ def sync_decode(staged: jnp.ndarray, start_bits: jnp.ndarray,
                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     kern = functools.partial(_sync_kernel, k_tokens=k_tokens,
-                             d_words=d_words, debug=_debug_checks())
+                             d_words=d_words, root_bits=root_bits,
+                             debug=_debug_checks())
 
     def kernel(staged_r, sb_r, cnt_r, lit_r, dist_r, lb_r, le_r, db_r,
                de_r, out_r):

@@ -236,8 +236,15 @@ def _fields_batch_pallas(a, b, cnt, bfinal):
     return values, widths
 
 
+#: shared-table litlen code-length cap.  10 keeps the sync decode
+#: kernel's root LUT at 8 lane-shuffle row groups (vs 32 at 12-bit;
+#: measured 2.84 vs 2.30 Gtok/s) for a ratio cost of +0.04% on the
+#: bench corpus (package-merge redistributes the tail symbols).
+SHARED_MAX_LEN = 10
+
+
 @functools.partial(jax.jit, static_argnames=("max_len", "use_kernel"))
-def _shared_stats(a, b, valid, max_len: int = 12,
+def _shared_stats(a, b, valid, max_len: int = SHARED_MAX_LEN,
                   use_kernel: bool = False):
     """Batch-global histogram → one shared code set + encoder tables.
 
@@ -304,7 +311,7 @@ def _valid_from_count(a, cnt):
     return jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
 
 
-def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12,
+def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = SHARED_MAX_LEN,
                          valid=None):
     """Field build with ONE shared Huffman table for the whole batch.
 
@@ -313,8 +320,9 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = 12,
     standard; headers across members become byte-identical).  This is
     the encode half of the "broadcast shared code tables" design: the
     decoder detects identical headers and runs the shared-table
-    speculative kernel.  ``max_len=12`` bounds code length so decode
-    root tables stay lane-shuffle-sized; ratio cost is ≈0.1-1%.
+    speculative kernel.  ``max_len`` (SHARED_MAX_LEN) bounds code
+    length so decode root tables stay lane-shuffle-sized; ratio cost
+    of the cap is ≈0.04-1%.
 
     ``valid``: optional (B, M) slot mask for padded stream-order tokens
     (pallas_parse); None means the compacted ``idx < cnt`` layout.

@@ -57,8 +57,11 @@ class TestSyncKernel:
             jnp.asarray(blocks), jnp.asarray(n_valid)))
         valid = (np.arange(a.shape[1], dtype=np.int32)[None, :]
                  < cnt[:, None])
+        # must match _encode_batch_sync's table build (SHARED_MAX_LEN);
+        # a 12-bit root over <=10-bit codes also covers the default-
+        # root_bits decode path
         lit_l, dist_l, *_r = _shared_stats(
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid), 12)
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid))
         lit_t = decode_table(jnp.asarray(lit_l), 12)
         dist_t = decode_table(jnp.asarray(dist_l), 8)
 
