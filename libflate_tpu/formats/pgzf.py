@@ -21,6 +21,7 @@ are assembled on the host (byte-scale work).
 """
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
@@ -316,12 +317,22 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
                 word0 = starts[:, :n_ch] >> 5
                 nw = int(np.max(np.maximum(
                     (starts[:, 1:] + 31) // 32 - word0, 0), initial=1))
-                nw = min(-(-max(nw, 1) // 32) * 32, w.shape[2])
+                # 16-word shape buckets: the stitch scatter cost is
+                # linear in n_ch*nw, and real chunk spans at F_CH=256
+                # are ~37 words — rounding to 32 doubles the scatter
+                # (measured 27.5 vs 21.1 ms per 8 MiB at 48)
+                nw = min(-(-max(nw, 1) // 16) * 16, w.shape[2])
                 w_out = int(bts_np.max(initial=1) + 31) // 32 + 1
                 w_out = -(-w_out // 2048) * 2048
-                w = _stitch_cols_device(
-                    w[:, :, :nw], jnp.asarray(word0.astype(np.int32)),
-                    w_out)
+                word0_d = jnp.asarray(word0.astype(np.int32))
+                if os.environ.get("LIBFLATE_STITCH_KERNEL", "1") != "0":
+                    # Pallas roll+OR stitch: 4.1 ms vs the 19.5 ms XLA
+                    # word scatter per 8 MiB (bit-identical)
+                    from ..ops.pallas_stitch import stitch_cols_pallas
+                    w = stitch_cols_pallas(w[:, :, :nw], word0_d, w_out)
+                else:
+                    w = _stitch_cols_device(w[:, :, :nw], word0_d,
+                                            w_out)
             else:
                 offs_l.append(small[:, 4:])
         else:

@@ -37,7 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUB = 8
 SLOTS = SUB * LANES              # 1024 slot-chunks per grid program
-F_CH = 512                       # default fields per slot-chunk
+#: default fields per slot-chunk.  The masked flush sweep makes kernel
+#: cost ~linear in d_out(f_ch) at fixed total fields (n_programs scales
+#: inversely), so smaller chunks are cheaper: measured 36.1 / 16.6 /
+#: 8.8 ms per 8 MiB at 512 / 256 / 128.  256 is the knee once the
+#: per-chunk overheads outside the kernel are counted: the stitch
+#: scatter's word count is dominated by the 32-word slice rounding
+#: (same at 512/256, 2x at 128) and the packed `small` D2H row grows
+#: by n_ch ints per member.
+F_CH = 256
 
 
 def d_out_for(f_ch: int) -> int:

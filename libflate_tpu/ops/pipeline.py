@@ -39,9 +39,10 @@ def _tokenize_batch(blocks: jnp.ndarray, n_valid: jnp.ndarray):
 #: extends), and dist-1 runs — the dominant source of long matches —
 #: are exact via the arithmetic RLE rule (here and in
 #: lz77.tokenize_block_from_cand), so a low cap only truncates rare
-#: non-RLE matches past cap*4 bytes (bench-corpus ratio: unchanged at
-#: 8 rounds vs 32; tokenize slope 128 -> 85 ms / 8 MiB).
-KERNEL_LCP_ROUNDS = 8
+#: non-RLE matches past cap*4 bytes.  Bench-corpus A/B (LCP kernel
+#: slope / ratio): 8 rounds 45.7 ms / 0.3394, 6 rounds 41.2 / 0.3395,
+#: 4 rounds 27.6 / 0.3420 — 6 is the knee (ratio cost +0.0001).
+KERNEL_LCP_ROUNDS = 6
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -85,6 +85,42 @@ def test_stitch_cols_device_matches_host():
     assert np.array_equal(got[:, :ref.shape[1]], ref)
 
 
+def test_stitch_cols_pallas_matches_host(monkeypatch):
+    """Pallas roll+OR stitch (ops/pallas_stitch) == host OR oracle,
+    interpret mode, incl. boundary overlap / empty chunks / lane wrap."""
+    monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+    from libflate_tpu.ops.pallas_stitch import stitch_cols_pallas
+    from libflate_tpu.ops.pipeline import stitch_chunk_cols
+
+    rng = np.random.default_rng(77)
+    B, n_ch = 4, 13
+    ext = rng.integers(0, 3000, (B, n_ch))
+    ext[rng.random((B, n_ch)) < 0.25] = 0
+    starts = np.zeros((B, n_ch + 1), np.int64)
+    starts[:, 1:] = np.cumsum(ext, axis=1)
+    bits = starts[:, -1]
+    nw = int(((starts[:, :-1] % 32) + ext + 31).max() // 32)
+    nw = max(nw, 1)
+    streams = rng.integers(0, 1 << 32, (B, 2048), dtype=np.uint64)
+    cols = np.zeros((B, n_ch, nw), np.uint32)
+    for i in range(B):
+        raw = np.unpackbits(
+            streams[i].astype(">u8").view(np.uint8), bitorder="little")
+        for j in range(n_ch):
+            s, e = int(starts[i, j]), int(starts[i, j + 1])
+            k0 = s & 31
+            for t in range(s, e):
+                q, r = divmod(k0 + (t - s), 32)
+                cols[i, j, q] |= np.uint32(int(raw[t]) << r)
+    ref = stitch_chunk_cols(cols, starts, bits)
+    w_out = -(-ref.shape[1] // 128) * 128
+    got = np.asarray(stitch_cols_pallas(
+        jnp.asarray(cols.astype(np.int32)),
+        jnp.asarray((starts[:, :n_ch] >> 5).astype(np.int32)), w_out))
+    assert np.array_equal(got[:, :ref.shape[1]], ref)
+    assert not got[:, ref.shape[1]:].any()
+
+
 def test_kernel_pack_stream_byte_identical(monkeypatch):
     """LIBFLATE_PACK_KERNEL=1 must produce the exact bytes of the XLA
     scatter pack through the full pgzf device encoder."""
