@@ -166,6 +166,14 @@ def main() -> None:
                          f"{ker['device_decode_kernel_gbps']} GB/s "
                          f"({ker['device_kernel_ms']} ms)")
 
+            with stage_budget("enc_kernel", dec_budget):
+                ker = _kernel_side_encode(data)
+                if ker:
+                    extra.update(ker)
+                    _log(f"device kernel-side encode "
+                         f"{ker['device_encode_kernel_gbps']} GB/s "
+                         f"({ker['device_encode_kernel_ms']} ms)")
+
         if "tpu" in results and results["tpu"][1] is None:
             # decode never produced a number: drop the entry so the
             # headline picker below sees only complete results
@@ -314,6 +322,73 @@ def _kernel_side_decode(stream: bytes, nbytes: int):
             "resident inputs (a single dispatch pays ~28 ms axon-relay "
             "RTT; e2e additionally rides a ~40 MB/s D2H tunnel — both "
             "container artifacts, see docs/ROADMAP.md)"),
+    }
+
+
+def _kernel_side_encode(data: bytes):
+    """Time the encode kernel chain alone with device-resident inputs.
+
+    Mirrors _kernel_side_decode: tokenize (hash/LCP/parse) + shared
+    fields + pack + sync offsets + CRC (_encode_batch_sync_cols) + the
+    column stitch, slope-measured — the per-dispatch axon RTT and the
+    40 MB/s D2H tunnel (container artifacts) subtracted out.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libflate_tpu.ops import pipeline as pp
+    from libflate_tpu.ops.pallas_sync_decode import SYNC_TOKENS
+
+    n = 8 << 20                              # one 128 x 64 KiB batch
+    if len(data) < n or not pp._use_pallas():
+        return None
+    blocks = jax.device_put(jnp.asarray(
+        np.frombuffer(data[:n], np.uint8).reshape(128, 65536)))
+    nv = jax.device_put(jnp.full((128,), 65536, jnp.int32))
+    bf = jax.device_put(jnp.ones((128,), jnp.int32))
+
+    cols, small = pp._encode_batch_sync_cols(blocks, nv, bf, SYNC_TOKENS)
+    small_np = np.asarray(small)
+    n_ch = cols.shape[1]
+    starts = small_np[:, -(n_ch + 1):].astype(np.int64)
+    word0 = starts[:, :n_ch] >> 5
+    nw = int(np.max(np.maximum(
+        (starts[:, 1:] + 31) // 32 - word0, 0), initial=1))
+    nw = min(-(-max(nw, 1) // 16) * 16, cols.shape[2])
+    w_out = int(small_np[:, 0].max(initial=1) + 31) // 32 + 1
+    w_out = -(-w_out // 2048) * 2048
+    word0_d = jax.device_put(jnp.asarray(word0.astype(np.int32)))
+    from libflate_tpu.ops.pallas_stitch import stitch_cols_pallas
+
+    def chain():
+        c, s = pp._encode_batch_sync_cols(blocks, nv, bf, SYNC_TOKENS)
+        return stitch_cols_pallas(c[:, :, :nw], word0_d, w_out)
+
+    def sync_read(x):
+        return np.asarray(x[(0,) * x.ndim])
+
+    sync_read(chain())
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                o = chain()
+            sync_read(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t9 = timed(1), timed(9)
+    per_call = max((t9 - t1) / 8, 1e-6)
+    return {
+        "device_encode_kernel_gbps": round(n / 1e9 / per_call, 4),
+        "device_encode_kernel_ms": round(per_call * 1000, 1),
+        "device_encode_kernel_note": (
+            "8 MiB batch through tokenize + shared fields + pack + "
+            "stitch with device-resident IO, slope-measured like the "
+            "decode kernel number"),
     }
 
 
