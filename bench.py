@@ -140,8 +140,10 @@ def main() -> None:
             stream_dev = pgzf.compress(data, member_size=member_size,
                                        engine="tpu")
             extra["device_ratio"] = round(len(stream_dev) / nbytes, 4)
+            # e2e rides the axon tunnel (dispatch RTTs + 40 MB/s D2H)
+            # whose latency is bursty: best-of-4 for a stable number
             _, enc_t = time_best(lambda: pgzf.compress(
-                data, member_size=member_size, engine="tpu"))
+                data, member_size=member_size, engine="tpu"), repeats=4)
             results.setdefault("tpu", [None, None])
             results["tpu"][0] = gb / enc_t
             _log(f"device encode {gb / enc_t:.4f} GB/s")
