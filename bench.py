@@ -134,19 +134,40 @@ def main() -> None:
         enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "560"))
         dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "90"))
 
+        # The first device dispatch occasionally stalls for minutes in
+        # this container (axon relay flake — observed once in ~10 runs;
+        # an immediate fresh attempt recovers).  Give the first heavy
+        # call half the stage budget and one retry on timeout.
         stream_dev = None
-        with stage_budget("encode", enc_budget):
-            _log("device encode (compile-cached + run)")
-            stream_dev = pgzf.compress(data, member_size=member_size,
-                                       engine="tpu")
-            extra["device_ratio"] = round(len(stream_dev) / nbytes, 4)
-            # e2e rides the axon tunnel (dispatch RTTs + 40 MB/s D2H)
-            # whose latency is bursty: best-of-4 for a stable number
-            _, enc_t = time_best(lambda: pgzf.compress(
-                data, member_size=member_size, engine="tpu"), repeats=4)
-            results.setdefault("tpu", [None, None])
-            results["tpu"][0] = gb / enc_t
-            _log(f"device encode {gb / enc_t:.4f} GB/s")
+        for attempt in range(2):
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(enc_budget // 2 + 1)
+            try:
+                _log("device encode (compile-cached + run)"
+                     + (" [retry]" if attempt else ""))
+                stream_dev = pgzf.compress(data, member_size=member_size,
+                                           engine="tpu")
+                signal.alarm(0)
+                extra.pop("device_encode_error", None)
+                break
+            except Exception as e:                  # noqa: BLE001
+                signal.alarm(0)
+                _log(f"device encode attempt {attempt + 1} failed: "
+                     f"{type(e).__name__}: {e}")
+                extra["device_encode_error"] = f"{type(e).__name__}: {e}"
+                if not isinstance(e, TimeoutError):
+                    break
+        if stream_dev is not None:
+            with stage_budget("encode", enc_budget):
+                extra["device_ratio"] = round(len(stream_dev) / nbytes, 4)
+                # e2e rides the axon tunnel (dispatch RTTs + 40 MB/s
+                # D2H) whose latency is bursty: best-of-4
+                _, enc_t = time_best(lambda: pgzf.compress(
+                    data, member_size=member_size, engine="tpu"),
+                    repeats=4)
+                results.setdefault("tpu", [None, None])
+                results["tpu"][0] = gb / enc_t
+                _log(f"device encode {gb / enc_t:.4f} GB/s")
 
         if stream_dev is not None:
             with stage_budget("decode", dec_budget):
