@@ -54,8 +54,15 @@ class ChunkedDeflateDecoder:
         return r
 
     def _commit(self, r: BitReader) -> None:
+        # NOTE: must not trim _buf here — ``r`` holds absolute positions
+        # into the CURRENT buffer, and the symbols state commits many
+        # times per step with one live reader; trimming mid-step made
+        # later commits (old coordinates) progressively delete live
+        # bytes (round-3 regression test: large single-feed streams)
         self._bit_offset = r.bit_position
-        # drop fully consumed bytes to keep the buffer bounded
+
+    def _trim(self) -> None:
+        """Drop fully consumed bytes (called between steps only)."""
         whole = self._bit_offset // 8
         if whole > 1 << 16:
             del self._buf[:whole]
@@ -75,6 +82,7 @@ class ChunkedDeflateDecoder:
         progress = True
         while progress and not self.eos:
             progress = self._step(out)
+            self._trim()
         return bytes(out)
 
     def _step(self, out: bytearray) -> bool:
@@ -172,7 +180,7 @@ class ChunkedDeflateDecoder:
                     except EOFError:
                         r.restore(sym_snapshot)
                         del bits_before
-                        return emitted and False
+                        return False
             return False
         except EOFError:
             self._bit_offset = snapshot

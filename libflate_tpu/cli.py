@@ -4,11 +4,21 @@ Subcommands: copy, byte-read, gzip-decode, gzip-decode-multi,
 gzip-encode, zlib-decode, zlib-encode — plus the TPU-native extras
 pgzf-encode / pgzf-decode.  "-" means stdin/stdout; /dev/null works as
 an output sink.
+
+``--stream`` runs the gzip/zlib codecs in bounded memory: input is
+pulled CHUNK bytes at a time through the resumable chunked decoders /
+the BlockStreamer encoder and copied straight to the output file
+(parity: the reference CLI io::copy's through streaming codecs,
+examples/flate.rs:68-112).  The default mode reads whole files and
+uses the fastest available engine.
 """
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
+
+_CHUNK = 1 << 20
 
 
 def _read_input(path: str) -> bytes:
@@ -27,6 +37,81 @@ def _write_output(path: str, data: bytes) -> None:
             f.write(data)
 
 
+@contextlib.contextmanager
+def _open_in(path: str):
+    if path == "-":
+        yield sys.stdin.buffer
+    else:
+        with open(path, "rb") as f:
+            yield f
+
+
+@contextlib.contextmanager
+def _open_out(path: str):
+    if path == "-":
+        yield sys.stdout.buffer
+        sys.stdout.buffer.flush()
+    else:
+        with open(path, "wb") as f:
+            yield f
+
+
+def _pump(reader, writer) -> None:
+    """io::copy — bounded-memory copy through a read()-style object."""
+    while True:
+        piece = reader.read(_CHUNK)
+        if not piece:
+            return
+        writer.write(piece)
+
+
+def _run_streaming(args) -> int:
+    """Bounded-memory paths for copy/byte-read/gzip/zlib subcommands."""
+    from .formats import gzip as fgzip, zlib as fzlib
+
+    with _open_in(args.input) as src, _open_out(args.output) as dst:
+        if args.cmd == "copy":
+            _pump(src, dst)
+        elif args.cmd == "byte-read":
+            unit = max(1, args.unit)
+            while src.read(unit):
+                pass
+        elif args.cmd in ("gzip-decode", "gzip-decode-multi"):
+            dec = (fgzip.MultiDecoder if args.cmd.endswith("multi")
+                   else fgzip.Decoder)(src)
+            if args.verbose:
+                print(f"header: {dec.header}", file=sys.stderr)
+            _pump(dec, dst)
+        elif args.cmd == "zlib-decode":
+            dec = fzlib.Decoder(src)
+            if args.verbose:
+                print(f"header: {dec.header}", file=sys.stderr)
+            _pump(dec, dst)
+        elif args.cmd == "gzip-encode":
+            enc = fgzip.Encoder(sink=dst)
+            _pump(src, _WriteAdapter(enc))
+            enc.finish()
+        elif args.cmd == "zlib-encode":
+            enc = fzlib.Encoder(sink=dst)
+            _pump(src, _WriteAdapter(enc))
+            enc.finish()
+        else:
+            print(f"error: --stream does not support {args.cmd}",
+                  file=sys.stderr)
+            return 2
+    return 0
+
+
+class _WriteAdapter:
+    """Minimal writer wrapper so _pump can feed an Encoder."""
+
+    def __init__(self, enc) -> None:
+        self._enc = enc
+
+    def write(self, data: bytes) -> int:
+        return self._enc.write(data)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="libflate-tpu",
@@ -36,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--engine", default=None,
                    help="serial | native | tpu | auto")
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory streaming codecs (chunked "
+                        "decoders / BlockStreamer encoder)")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("copy")
     br = sub.add_parser("byte-read")
@@ -50,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("pgzf-decode")
 
     args = p.parse_args(argv)
+
+    if args.stream:
+        return _run_streaming(args)
+
     data = _read_input(args.input)
 
     from .formats import gzip as fgzip, pgzf, zlib as fzlib

@@ -450,30 +450,86 @@ class Encoder:
 
 
 class Decoder:
-    """Streaming single-member gzip decoder (read-style façade)."""
+    """Streaming single-member gzip decoder (read-style façade).
 
-    def __init__(self, data: bytes, engine: str | None = None) -> None:
-        self._member = decompress_member(bytes(data), 0, engine)
+    Accepts ``bytes`` (engine-accelerated whole-buffer decode) or any
+    binary file-like object, which is pulled CHUNK bytes at a time
+    through the resumable chunked decoder so arbitrarily large streams
+    decode in bounded memory (parity: the reference wraps any io::Read
+    — src/gzip.rs:912-1048 — and the CLI io::copy's through it,
+    examples/flate.rs:68-112).
+    """
+
+    CHUNK = 1 << 20
+    _multi = False
+
+    def __init__(self, data, engine: str | None = None) -> None:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            self._init_bytes(bytes(data), engine)
+        else:
+            from ..chunked import ChunkedGzipDecoder
+            self._src = data
+            self._chunked = ChunkedGzipDecoder(multi=self._multi)
+            self._buf = bytearray()
+            self._src_eof = False
+
+    def _init_bytes(self, data: bytes, engine) -> None:
+        self._chunked = None
+        self._member = decompress_member(data, 0, engine)
         self._view = memoryview(self._member.data)
         self._pos = 0
 
+    def _pump(self) -> bool:
+        """Feed one source chunk through the decoder; False at EOF."""
+        if self._src_eof:
+            return False
+        chunk = self._src.read(self.CHUNK)
+        if not chunk:
+            self._src_eof = True
+            self._chunked.finish()
+            return False
+        self._buf += self._chunked.feed(chunk)
+        return True
+
     @property
     def header(self) -> Header:
-        return self._member.header
+        if self._chunked is None:
+            return self._member.header
+        while self._chunked.header is None and self._pump():
+            pass
+        if self._chunked.header is None:
+            raise EOFError("gzip stream ended before the header")
+        return self._chunked.header
 
     def read(self, n: int = -1) -> bytes:
-        if n < 0:
-            n = len(self._view) - self._pos
-        out = bytes(self._view[self._pos:self._pos + n])
-        self._pos += len(out)
+        if self._chunked is None:
+            if n < 0:
+                n = len(self._view) - self._pos
+            out = bytes(self._view[self._pos:self._pos + n])
+            self._pos += len(out)
+            return out
+        while (n < 0 or len(self._buf) < n) and self._pump():
+            pass
+        if n < 0 or n >= len(self._buf):
+            out = bytes(self._buf)
+            self._buf.clear()
+        else:
+            out = bytes(self._buf[:n])
+            del self._buf[:n]
         return out
 
 
 class MultiDecoder(Decoder):
-    """Concatenated-member gzip decoder (parity: src/gzip.rs:1052-1167)."""
+    """Concatenated-member gzip decoder (parity: src/gzip.rs:1052-1167).
 
-    def __init__(self, data: bytes, engine: str | None = None) -> None:
-        members = decompress_members(bytes(data), engine)
+    Like :class:`Decoder`, file-like inputs decode member-by-member in
+    bounded memory."""
+
+    _multi = True
+
+    def _init_bytes(self, data: bytes, engine) -> None:
+        self._chunked = None
+        members = decompress_members(data, engine)
         self._member = members[0]
         self._members = members
         joined = b"".join(m.data for m in members)

@@ -252,10 +252,9 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     sync = btype == "shared"
     words_l, bits_l, crcs_l, cnt_l, offs_l = [], [], [], [], []
     bfinal_j = jnp.asarray(bfinal)
-    # Phase 1 — dispatch every batch (async): batch g+1's device compute
-    # overlaps batch g's D2H drain below.
-    pend = []
-    for g in range(n_batches):
+
+    def _dispatch(g):
+        """Launch batch g's device compute (async dispatch)."""
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
         if sync:
             from ..ops.pallas_sync_decode import SYNC_TOKENS
@@ -266,30 +265,28 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
             kernel_pack = use_cols_encoder(blocks_j)
             enc = (_encode_batch_sync_cols if kernel_pack
                    else _encode_batch_sync_packed)
-            w, small = enc(
-                blocks_j, jnp.asarray(n_valid[sl]),
-                bfinal_j, SYNC_TOKENS)
-            pend.append((w, small))
-        else:
-            w, bts = _encode_batch(jnp.asarray(blocks[sl]),
-                                   jnp.asarray(n_valid[sl]), bfinal_j,
-                                   btype)
-            pend.append((w, bts))
-    # Phase 2 — drain.  One packed (B, 4+S) D2H carries bits, token
-    # counts, member CRCs (f-values computed on the device-resident
-    # blocks), parse-overflow flags and the sync index; words D2H is
-    # sliced to the bits actually produced (the packer buffer is
-    # worst-case-sized, and D2H rides a slow tunnel in this container).
+            return enc(blocks_j, jnp.asarray(n_valid[sl]), bfinal_j,
+                       SYNC_TOKENS)
+        return _encode_batch(jnp.asarray(blocks[sl]),
+                             jnp.asarray(n_valid[sl]), bfinal_j, btype)
+
+    # Double-buffered dispatch/drain: batch g+1's device compute
+    # overlaps batch g's D2H drain, and at most TWO batches' worst-case
+    # device buffers (~5x input bytes each) are live — dispatching every
+    # batch up front made device memory linear in input size.
     from ..ops.checksum import crc32_from_padded_f
+    pend = {0: _dispatch(0)} if n_batches else {}
     for g in range(n_batches):
+        if g + 1 < n_batches:
+            pend[g + 1] = _dispatch(g + 1)
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
-        w, rest = pend[g]
+        w, rest = pend.pop(g)
         if sync:
             from ..ops.pipeline import (_stitch_cols_device,
                                         use_cols_encoder)
             kernel_pack = use_cols_encoder(blocks[sl])
             small = np.asarray(rest)
-            if small[:, 3].any():
+            if (small[:, 3] & 1).any():
                 # a literal-dense member blew the per-chunk token-slot
                 # budget (ops/pipeline.PARSE_CAP): its words are
                 # incomplete.  Re-encode the batch at cap=512, which a
@@ -302,6 +299,15 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
                     jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
                     bfinal_j, SYNC_TOKENS, cap=512)
                 small = np.asarray(small_d)
+            if (small[:, 3] & 2).any():
+                # a field wider than the pack kernel's d_out sizing
+                # invariant (ops/pallas_pack.d_out_for) — would corrupt
+                # the stream silently; fail loudly instead
+                from ..serial.deflate import DeflateError
+                raise DeflateError(
+                    "internal: field width exceeds the pack kernel's "
+                    "slot-depth invariant (single field > 28 bits or "
+                    "adjacent pair > 38)")
             bts_np = small[:, 0]
             cnt_l.append(small[:, 1])
             crcs_l.append(crc32_from_padded_f(small[:, 2], n_valid[sl],

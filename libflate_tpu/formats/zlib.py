@@ -225,20 +225,64 @@ class Encoder:
 
 
 class Decoder:
-    """Streaming zlib decoder façade."""
+    """Streaming zlib decoder façade.
 
-    def __init__(self, data: bytes, engine: str | None = None) -> None:
-        self._decoded = decompress_stream(bytes(data), 0, engine)
-        self._view = memoryview(self._decoded.data)
-        self._pos = 0
+    Accepts ``bytes`` (engine-accelerated whole-buffer decode) or any
+    binary file-like object, pulled CHUNK bytes at a time through the
+    resumable chunked decoder — bounded memory for arbitrarily large
+    streams (parity: the reference wraps any io::Read,
+    src/zlib.rs:284-410).
+    """
+
+    CHUNK = 1 << 20
+
+    def __init__(self, data, engine: str | None = None) -> None:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            self._chunked = None
+            self._decoded = decompress_stream(bytes(data), 0, engine)
+            self._view = memoryview(self._decoded.data)
+            self._pos = 0
+        else:
+            from ..chunked import ChunkedZlibDecoder
+            self._src = data
+            self._chunked = ChunkedZlibDecoder()
+            self._buf = bytearray()
+            self._src_eof = False
+
+    def _pump(self) -> bool:
+        if self._src_eof:
+            return False
+        chunk = self._src.read(self.CHUNK)
+        if not chunk:
+            self._src_eof = True
+            self._chunked.finish()
+            return False
+        self._buf += self._chunked.feed(chunk)
+        return True
 
     @property
     def header(self) -> Header:
-        return self._decoded.header
+        if self._chunked is None:
+            return self._decoded.header
+        while self._chunked.header is None and self._pump():
+            pass
+        if self._chunked.header is None:
+            raise EOFError("zlib stream ended before the header")
+        return self._chunked.header
 
     def read(self, n: int = -1) -> bytes:
-        if n < 0:
-            n = len(self._view) - self._pos
-        out = bytes(self._view[self._pos:self._pos + n])
-        self._pos += len(out)
+        if self._chunked is None:
+            if n < 0:
+                n = len(self._view) - self._pos
+            out = bytes(self._view[self._pos:self._pos + n])
+            self._pos += len(out)
+            return out
+        while (n < 0 or len(self._buf) < n) and self._pump():
+            pass
+        if n < 0 or n >= len(self._buf):
+            out = bytes(self._buf)
+            self._buf.clear()
+        else:
+            out = bytes(self._buf[:n])
+            del self._buf[:n]
         return out

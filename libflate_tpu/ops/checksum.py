@@ -154,18 +154,41 @@ def crc32_batch_jax(data: jnp.ndarray, lengths) -> jnp.ndarray:
     return out
 
 
+def _apply_gf2_cols(values: jnp.ndarray, cols: np.ndarray) -> jnp.ndarray:
+    """Apply a GF(2) operator (given as 32 column u32s) to (B,) uint32s."""
+    M = np.zeros((32, 32), dtype=np.float32)
+    for j in range(32):
+        for o in range(32):
+            M[j, o] = (int(cols[j]) >> o) & 1
+    bits = ((values[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+            ).astype(jnp.float32)
+    out = jnp.mod(bits @ jnp.asarray(M), 2.0).astype(jnp.uint32)
+    return jnp.sum(out << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def crc32_f_rows(data: jnp.ndarray) -> jnp.ndarray:
     """Raw CRC f-values of LEFT-aligned (B, N) uint8 rows.
 
-    N must be a multiple of CHUNK with N/CHUNK a power of two.  Rows are
-    processed whole (including trailing zero padding); fold the padding
-    back out host-side with :func:`crc32_from_padded_f`.  Returns (B,)
-    int32 bit patterns (bitcast of the uint32 register).
+    Works for any N: rows are zero-padded at the END to a power-of-two
+    chunk count (the tree fold needs 2^k chunks), then the trailing-zero
+    shift is folded back out on device with one constant GF(2) matmul,
+    so the result is the register over exactly the N row bytes.  Rows
+    are processed whole (including the caller's own trailing zero
+    padding within N); fold that padding back out host-side with
+    :func:`crc32_from_padded_f`.  Returns (B,) int32 bit patterns
+    (bitcast of the uint32 register).
     """
     bsz, n = data.shape
-    m = n // CHUNK
-    f = jax.vmap(lambda row: _crc32_f_padded(row.reshape(m, CHUNK)))(data)
+    m = max(1, -(-n // CHUNK))
+    mp = 1 << (m - 1).bit_length()                      # power-of-two chunks
+    pad = mp * CHUNK - n
+    if pad:
+        data = jnp.pad(data, ((0, 0), (0, pad)))
+    f = jax.vmap(lambda row: _crc32_f_padded(row.reshape(mp, CHUNK)))(data)
+    if pad:
+        # Trailing zeros multiplied the register by A_pad; undo on device.
+        f = _apply_gf2_cols(f, _inv_shift_cols(pad))
     return jax.lax.bitcast_convert_type(f, jnp.int32)
 
 

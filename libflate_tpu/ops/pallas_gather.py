@@ -1,0 +1,131 @@
+"""Pallas TPU batched per-member gather kernel.
+
+XLA's generic gather/scatter lowers to ~85 M elem/s on this TPU (the
+measured ceiling everywhere in this project; docs/ROADMAP.md) — far too
+slow for LZ77 expansion, whose pointer-chase is nothing but gathers.
+This kernel does out[b, i, l] = table[b, flat_idx[b, i, l]] at ~1 G
+elem/s by scanning the member's table rows in VMEM: per 8-row block one
+broadcast + lane-shuffle + select per row (the only per-element indexed
+primitives Mosaic exposes are single-vreg lane shuffles and sublane
+shuffles; a true per-element 2D gather does not lower).
+
+An optional locality skip predicates each 64-row block on the output
+vreg's index range — pointer-chase rounds have strongly local indices
+(sources sit within the LZ77 window of their position), so most blocks
+skip in a couple of cycles.
+
+Parity note: this is infrastructure for the device decode hot loop
+(reference: libflate_lz77/src/lib.rs:164-194 rle_decode — the
+sequential overlapping copy this framework replaces with batched
+pointer resolution).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 8
+BLOCK = 64            # rows per predicated block (locality skip unit)
+
+
+def _interp() -> bool:
+    return os.environ.get("LIBFLATE_PALLAS_INTERPRET") == "1"
+
+
+def _gather_kernel(tab_ref, idx_ref, out_ref, *, rows: int, n_out: int,
+                   skip: bool):
+    n_blocks = -(-rows // BLOCK)
+
+    def body(v, _):
+        idx = idx_ref[pl.ds(v * SUB, SUB), :]
+        lane = idx & (LANES - 1)
+        grp = idx >> 7                                    # table row
+        acc = jnp.zeros((SUB, LANES), jnp.int32)
+        gmin = jnp.min(grp) // BLOCK
+        gmax = jnp.max(grp) // BLOCK
+
+        def do_block(c, acc):
+            blk = tab_ref[pl.ds(c * BLOCK, BLOCK), :]
+            for u in range(BLOCK):
+                row = jnp.broadcast_to(blk[u, :][None, :], (SUB, LANES))
+                cand = jnp.take_along_axis(row, lane, axis=1)
+                acc = jnp.where(grp == c * BLOCK + u, cand, acc)
+            return acc
+
+        if skip:
+            # predicated scan: blocks outside [gmin, gmax] cost ~2 cycles
+            def blk_body(c, acc):
+                return jax.lax.cond(
+                    (c >= gmin) & (c <= gmax),
+                    lambda a: do_block(c, a), lambda a: a, acc)
+
+            acc = jax.lax.fori_loop(0, n_blocks, blk_body, acc)
+        else:
+            for c in range(n_blocks):
+                acc = do_block(c, acc)
+        out_ref[pl.ds(v * SUB, SUB), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, n_out // SUB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("skip",))
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                skip: bool = True) -> jnp.ndarray:
+    """Batched per-member flat gather.
+
+    Args:
+        table: (B, R, 128) int32 — member b's entries; flat entry e
+            lives at ``table[b, e >> 7, e & 127]``.  R must be a
+            multiple of 8 (pad rows with anything).
+        idx: (B, N, 128) int32 flat entry indices in [0, R*128); N a
+            multiple of 8.  Out-of-range indices are clipped.
+        skip: predicate 64-row blocks on each output vreg's index range
+            (fast when indices are local, harmless otherwise).
+
+    Returns (B, N, 128) int32 with out[b, i, l] = flat(table[b])[idx].
+    """
+    bsz, rows, lanes = table.shape
+    _, n_out, _ = idx.shape
+    assert lanes == LANES and rows % SUB == 0 and n_out % SUB == 0
+    idx = jnp.clip(idx.astype(jnp.int32), 0, rows * LANES - 1)
+    if rows % BLOCK:
+        table = jnp.pad(table, ((0, 0), (0, BLOCK - rows % BLOCK), (0, 0)))
+        rows = table.shape[1]
+
+    spec_t = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((1, n_out, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_gather_kernel, rows=rows, n_out=n_out,
+                             skip=skip)
+
+    def kfn(t, i, o):
+        kern(t.at[0], i.at[0], o.at[0])
+
+    return pl.pallas_call(
+        kfn, grid=(bsz,),
+        in_specs=[spec_t, spec_i],
+        out_specs=spec_i,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_out, LANES), jnp.int32),
+        interpret=_interp(),
+    )(table.astype(jnp.int32), idx)
+
+
+def flatten_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, M) -> (B, M/128, 128) table layout (M multiple of 1024)."""
+    bsz, m = x.shape
+    return x.reshape(bsz, m // LANES, LANES)
+
+
+def unflatten_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, R, 128) -> (B, R*128)."""
+    bsz, r, lanes = x.shape
+    return x.reshape(bsz, r * lanes)

@@ -602,12 +602,20 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                           valid=valid)
     cols, starts, bits = _pack_chunks_device(values, widths)
+    # pack-kernel invariant (ops/pallas_pack.d_out_for sizing): single
+    # field <= 28 bits and every adjacent pair <= 38, else flushed words
+    # can silently fall past the column depth.  Surfaced as bit 1 of the
+    # overflow flag; the host raises instead of emitting a corrupt
+    # stream (reference parity: debug_assert! in src/bit.rs:26-27).
+    wbad = (jnp.any(widths > 28, axis=1)
+            | jnp.any(widths[:, :-1] + widths[:, 1:] > 38, axis=1))
+    flags = ovf.astype(jnp.int32) | (wbad.astype(jnp.int32) << 1)
     offsets = _sync_offsets_padded(widths, valid, k)
     crc_f = crc32_f_rows(blocks)
     small = jnp.concatenate(
         [bits.astype(jnp.int32)[:, None],
          cnt.astype(jnp.int32)[:, None], crc_f[:, None],
-         ovf.astype(jnp.int32)[:, None], offsets.astype(jnp.int32),
+         flags[:, None], offsets.astype(jnp.int32),
          starts.astype(jnp.int32)], axis=1)
     return cols, small
 

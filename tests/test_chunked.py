@@ -69,6 +69,17 @@ class TestChunkedDeflate:
         dec.finish()
         assert bytes(out) == data
 
+    @pytest.mark.parametrize("sizes", [[10 << 20], [65536], [65521]])
+    def test_large_multi_block_stream(self, sizes):
+        """Round-3 regression: a single feed whose symbols step consumed
+        > 64 KiB used to trim the buffer mid-step and corrupt the bit
+        cursor (commits from a live reader hold stale coordinates)."""
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(97, 123, 1 << 20, dtype=np.uint8))
+        enc = pyzlib.compress(data, 1)[2:-4]
+        dec = ChunkedDeflateDecoder()
+        assert _feed_all(dec, enc, sizes) == data
+
 
 class TestChunkedGzip:
     @pytest.mark.parametrize("sizes", CHUNKINGS)

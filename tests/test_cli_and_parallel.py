@@ -52,6 +52,84 @@ class TestCli:
                          tmp_path) == b""
 
 
+class TestCliStreaming:
+    """--stream: bounded-memory io::copy parity (flate.rs:68-112)."""
+
+    def _run(self, args, data: bytes, tmp_path) -> bytes:
+        inp = tmp_path / "in.bin"
+        out = tmp_path / "out.bin"
+        inp.write_bytes(data)
+        rc = cli_main(["-i", str(inp), "-o", str(out), "--stream"] + args)
+        assert rc == 0
+        return out.read_bytes()
+
+    def test_copy_and_byte_read(self, tmp_path):
+        assert self._run(["copy"], b"payload", tmp_path) == b"payload"
+        assert self._run(["byte-read", "--unit", "3"], b"x" * 100,
+                         tmp_path) == b""
+
+    def test_gzip_roundtrip(self, tmp_path):
+        data = b"stream gzip " * 5000
+        gz = self._run(["gzip-encode"], data, tmp_path)
+        assert pygzip.decompress(gz) == data
+        assert self._run(["gzip-decode"], gz, tmp_path) == data
+
+    def test_gzip_multi(self, tmp_path):
+        gz = pygzip.compress(b"a" * 1000) + pygzip.compress(b"b" * 1000)
+        assert (self._run(["gzip-decode-multi"], gz, tmp_path)
+                == b"a" * 1000 + b"b" * 1000)
+
+    def test_zlib_roundtrip(self, tmp_path):
+        data = b"stream zlib " * 5000
+        z = self._run(["zlib-encode"], data, tmp_path)
+        assert pyzlib.decompress(z) == data
+        assert self._run(["zlib-decode"], z, tmp_path) == data
+
+    def test_bounded_memory_decode(self, tmp_path, monkeypatch):
+        """Decoding a stream much larger than the chunk size keeps peak
+        Python allocations bounded (never buffers the whole output)."""
+        import tracemalloc
+
+        from libflate_tpu.formats import gzip as fgzip
+
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(97, 123, 8 << 20, dtype=np.uint8))
+        gz = pygzip.compress(data, 1)
+        monkeypatch.setattr(fgzip.Decoder, "CHUNK", 64 * 1024)
+        inp = tmp_path / "in.gz"
+        out = tmp_path / "out.bin"
+        inp.write_bytes(gz)
+        tracemalloc.start()
+        rc = cli_main(["-i", str(inp), "-o", str(out), "--stream",
+                       "gzip-decode"])
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert rc == 0
+        assert out.read_bytes() == data
+        # whole-buffer decode holds the full output + compressed input
+        # (>= 15 MiB here); the streaming path stays within a few
+        # copy-chunk buffers (~1 MiB read granularity + decoder state)
+        assert peak < 6 << 20, f"peak allocation {peak} bytes"
+
+    def test_file_like_decoder_facades(self):
+        """gzip/zlib Decoder accept file-likes directly (library API)."""
+        import io as _io
+
+        from libflate_tpu.formats import gzip as fgzip, zlib as fzlib
+
+        data = b"facade " * 10000
+        d = fgzip.Decoder(_io.BytesIO(pygzip.compress(data)))
+        assert d.header is not None
+        assert d.read(100) == data[:100]
+        assert d.read() == data[100:]
+        d2 = fzlib.Decoder(_io.BytesIO(pyzlib.compress(data)))
+        assert d2.header.window_size is not None
+        assert d2.read() == data
+        m = fgzip.MultiDecoder(_io.BytesIO(
+            pygzip.compress(b"one") + pygzip.compress(b"two")))
+        assert m.read() == b"onetwo"
+
+
 class TestSharded:
     def test_mesh_has_8_devices(self):
         import jax

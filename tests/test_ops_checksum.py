@@ -42,12 +42,18 @@ def test_adler32_combine_device():
     assert int(a) == pyzlib.adler32(data)
 
 
-def test_crc32_f_rows_left_aligned():
+@pytest.mark.parametrize("row_bytes", [
+    4096,    # 64 chunks (power of two)
+    3072,    # 48 chunks (NOT a power of two — round-2 regression)
+    24576,   # 384 chunks (not a power of two)
+    100,     # not even a CHUNK multiple
+])
+def test_crc32_f_rows_left_aligned(row_bytes):
     """Fused encode-path CRC: left-aligned rows + host padding fold."""
     from libflate_tpu.ops.checksum import crc32_f_rows, crc32_from_padded_f
     rng = np.random.default_rng(7)
-    row_bytes = 4096                      # 64 chunks (power of two)
-    lens = [0, 1, 63, 64, 100, 4095, 4096]
+    lens = [ln for ln in (0, 1, 63, 64, 100, 4095, 4096, row_bytes)
+            if ln <= row_bytes]
     rows = np.zeros((len(lens), row_bytes), np.uint8)
     payloads = []
     for i, ln in enumerate(lens):

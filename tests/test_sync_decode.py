@@ -119,6 +119,16 @@ class TestSyncContainer:
         # other engines also decode it
         assert pgzf.decompress(stream, engine="native") == data
 
+    @pytest.mark.parametrize("member_size", [3072, 24576])
+    def test_non_pow2_member_size_crc(self, sync_interpret, member_size):
+        """Round-2 ADVICE regression: crc32_f_rows with a member size
+        whose 64-byte chunk count is not a power of two wrote corrupt
+        gzip CRC32 fields on the tpu engine."""
+        data = _corpus(member_size * 3 + 1234)
+        stream = pgzf.compress(data, member_size=member_size, engine="tpu")
+        assert stdgzip.decompress(stream) == data          # CRCs verify
+        assert pgzf.decompress(stream, verify=True) == data
+
     def test_ls_subfield_parse(self, sync_interpret):
         data = _corpus(100000)
         stream = pgzf.compress(data, member_size=32768, engine="tpu")
