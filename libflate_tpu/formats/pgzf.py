@@ -253,6 +253,9 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
     words_l, bits_l, crcs_l, cnt_l, offs_l = [], [], [], [], []
     bfinal_j = jnp.asarray(bfinal)
 
+    from ..ops.pipeline import _device_knobs
+    knobs = _device_knobs(opts)
+
     def _dispatch(g):
         """Launch batch g's device compute (async dispatch)."""
         sl = slice(g * DEV_BATCH, (g + 1) * DEV_BATCH)
@@ -266,7 +269,7 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
             enc = (_encode_batch_sync_cols if kernel_pack
                    else _encode_batch_sync_packed)
             return enc(blocks_j, jnp.asarray(n_valid[sl]), bfinal_j,
-                       SYNC_TOKENS)
+                       SYNC_TOKENS, **knobs)
         return _encode_batch(jnp.asarray(blocks[sl]),
                              jnp.asarray(n_valid[sl]), bfinal_j, btype)
 
@@ -297,7 +300,8 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
                        else _encode_batch_sync_packed)
                 w, small_d = enc(
                     jnp.asarray(blocks[sl]), jnp.asarray(n_valid[sl]),
-                    bfinal_j, SYNC_TOKENS, cap=512)
+                    bfinal_j, SYNC_TOKENS,
+                    **{**knobs, "cap": 512})
                 small = np.asarray(small_d)
             if (small[:, 3] & 2).any():
                 # a field wider than the pack kernel's d_out sizing

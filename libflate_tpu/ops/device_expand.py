@@ -1,0 +1,164 @@
+"""Device-resident LZ77 expansion v2 — the decode chain's second half.
+
+Replaces ops.deflate_decode.expand_tokens_device (generic XLA pointer
+doubling, ~1.16 s per 8 MiB: every gather rides XLA's ~85 M elem/s
+ceiling and RLE runs make chains thousands deep) with a TPU-first
+decomposition (reference hot loop being replaced:
+src/deflate/decode.rs:112-130 + libflate_lz77/src/lib.rs:164-194):
+
+1. **Span maps** — output position -> covering token via one scatter of
+   token-start marks + cumsum; token fields (start/dist/literal) arrive
+   per byte through the Pallas gather kernel (ops/pallas_gather).
+2. **Mod-collapse** — a byte inside an overlapped (RLE) copy jumps
+   straight to the PRE-TOKEN source: src(p) = (p - s) % d + s - d.
+   Every chain step then crosses a token boundary, so chain depth drops
+   from output-run length (thousands) to the token DAG depth (~10-200
+   on text; measured mean 9-36).
+3. **Pointer doubling** on the collapsed map — each round is one
+   batched Pallas gather (~1 G elem/s, 12x XLA); adaptive while_loop
+   stops at the true max depth's log.
+4. **Materialize + CRC** — one more gather pulls literal bytes to every
+   position; CRC32 via the GF(2) matmul kernel, all device-resident.
+
+Members are independent (PGZF container) — no cross-member history.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_gather import LANES, flatten_rows, gather_rows
+
+
+def _gather_flat(table_2d: jnp.ndarray, idx_2d: jnp.ndarray,
+                 skip: bool = True) -> jnp.ndarray:
+    """(B, M) table + (B, N) int32 idx -> (B, N) int32 values."""
+    bsz, m = table_2d.shape
+    n = idx_2d.shape[1]
+    pad_m = (-m) % (8 * LANES)
+    if pad_m:
+        table_2d = jnp.pad(table_2d, ((0, 0), (0, pad_m)))
+    pad_n = (-n) % (8 * LANES)
+    if pad_n:
+        idx_2d = jnp.pad(idx_2d, ((0, 0), (0, pad_n)))
+    out = gather_rows(flatten_rows(table_2d.astype(jnp.int32)),
+                      flatten_rows(idx_2d.astype(jnp.int32)), skip=skip)
+    return out.reshape(bsz, -1)[:, :n]
+
+
+def _token_id_scatter_free(starts: jnp.ndarray, valid: jnp.ndarray,
+                           n_tokens: jnp.ndarray, out_cap: int
+                           ) -> jnp.ndarray:
+    """Output position -> covering token id, without any XLA scatter.
+
+    The scatter+cumsum construction costs ~26 ms per 8 MiB (85 M elem/s
+    scatter ceiling).  Scatter-free: starts are sorted, so
+    token_id(p) = #{starts <= p} - 1 splits into a coarse per-128-bucket
+    count (one-hot compare, fused reduce) and a fine in-bucket rank
+    against <= 128 bucket-local starts (every token emits >= 1 byte, so
+    a 128-byte bucket holds <= 128 starts), fetched with one Pallas
+    gather.
+    """
+    bsz, t = starts.shape
+    nb = out_cap // 128
+    sb = jnp.where(valid, starts >> 7, nb)           # invalid -> off-end
+    cnt = jnp.zeros((bsz, nb), jnp.int32)
+    tile = min(128, nb)
+    for r0 in range(0, nb, tile):
+        r = jnp.arange(r0, r0 + tile, dtype=jnp.int32)
+        oh = (sb[:, :, None] == r[None, None, :]).astype(jnp.int32)
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, jnp.sum(oh, axis=1), (0, r0))
+    c_excl = jnp.cumsum(cnt, axis=1) - cnt           # starts before bucket
+
+    k = jnp.arange(128, dtype=jnp.int32)
+    idxk = c_excl[:, :, None] + k[None, None, :]     # (B, nb, 128)
+    bs = _gather_flat(starts, idxk.reshape(bsz, -1)).reshape(bsz, nb, 128)
+    bs = jnp.where(idxk < n_tokens[:, None, None], bs, out_cap + 1)
+    p_abs = (jnp.arange(nb, dtype=jnp.int32)[None, :, None] * 128
+             + jnp.arange(128, dtype=jnp.int32)[None, None, :])
+    fine = jnp.zeros((bsz, nb, 128), jnp.int32)
+    for r0 in range(0, nb, tile):
+        sl = slice(r0, r0 + tile)
+        f = jnp.sum((bs[:, sl, None, :] <= p_abs[:, sl, :, None]
+                     ).astype(jnp.int32), axis=-1)
+        fine = jax.lax.dynamic_update_slice(fine, f, (0, r0, 0))
+    token_id = (c_excl[:, :, None] + fine).reshape(bsz, out_cap) - 1
+    return jnp.clip(token_id, 0, t - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "max_rounds"))
+def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
+                   out_cap: int, max_rounds: int = 18):
+    """Expand packed LZ77 tokens into plaintext, fully on device.
+
+    Args:
+        packed: (B, T) int32 tokens ``a | (b << 9)`` (a = literal byte
+            or match length; b = distance, 0 for literals) — the sync
+            kernel / native packing.
+        n_tokens: (B,) int32 valid token counts.
+        out_cap: static output capacity per member (multiple of 1024).
+        max_rounds: pointer-doubling safety bound (2^rounds >= deepest
+            possible chain; 18 covers out_cap 2^18).
+
+    Returns:
+        (out (B, out_cap) uint8, n_out (B,) int32, err (B,) bool).
+        err: bad distance (reaches before the member), output overflow,
+        or unresolved chain.
+    """
+    bsz, t = packed.shape
+    a = packed & 511
+    b = (packed >> 9) & 0xFFFF
+    tidx = jnp.arange(t, dtype=jnp.int32)
+    valid = tidx[None, :] < n_tokens[:, None]
+    is_match = valid & (b > 0)
+    lens = jnp.where(valid, jnp.where(is_match, a, 1), 0)
+    ends = jnp.cumsum(lens, axis=1)
+    starts = ends - lens
+    n_out = ends[:, -1]
+    overflow = n_out > out_cap
+
+    # token id per output position (scatter-free; see helper)
+    token_id = _token_id_scatter_free(
+        jnp.minimum(starts, out_cap - 1), valid, n_tokens, out_cap)
+
+    # per-byte token fields (Pallas gathers from the small token tables)
+    tok_start = _gather_flat(starts, token_id)
+    tok_d = _gather_flat(jnp.where(is_match, b, 0), token_id)
+    tok_a = _gather_flat(a, token_id)
+
+    pos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    is_lit = tok_d == 0
+    # mod-collapse: jump past the whole overlapped copy in one step
+    rel = pos - tok_start
+    src = jnp.where(is_lit, pos,
+                    rel % jnp.maximum(tok_d, 1) + tok_start - tok_d)
+    live = pos < n_out[:, None]
+    bad_dist = jnp.any((src < 0) & ~is_lit & live, axis=1)
+    src = jnp.clip(src, 0, out_cap - 1)
+    src = jnp.where(live, src, pos)          # padding: fixpoints
+
+    # pointer doubling to the literal roots: square the map each round
+    # (literals are fixpoints, so m^(2^k) converges in log2(depth))
+    def db_cond(state):
+        s, r, changed = state
+        return changed & (r < max_rounds)
+
+    def db_body(state):
+        s, r, _ = state
+        s2 = _gather_flat(s, s)
+        return s2, r + 1, jnp.any(s2 != s)
+
+    s_final, _, changed = jax.lax.while_loop(
+        db_cond, db_body, (src, jnp.int32(0), jnp.bool_(True)))
+    unresolved = jnp.any(
+        (_gather_flat(is_lit.astype(jnp.int32), s_final) == 0) & live
+        & ~is_lit, axis=1)
+
+    litvals = jnp.where(is_lit, tok_a & 255, 0)
+    out = _gather_flat(litvals, s_final).astype(jnp.uint8)
+    out = jnp.where(live, out, 0).astype(jnp.uint8)
+    err = overflow | bad_dist | unresolved
+    return out, jnp.minimum(n_out, out_cap), err

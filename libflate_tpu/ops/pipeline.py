@@ -137,13 +137,9 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
 PARSE_CAP = 384
 
 
-def _parse_cap() -> int:
-    import os
-    return int(os.environ.get("LIBFLATE_PARSE_CAP", str(PARSE_CAP)))
-
-
 def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
-                     lazy: bool | None = None, cap: int | None = None):
+                     lazy: bool | None = None, cap: int | None = None,
+                     window: int | None = None):
     """Kernel-backed tokenize returning PADDED stream-order tokens.
 
     Returns (a, b, valid, n_tokens, overflow) with token arrays of
@@ -153,15 +149,28 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     compaction run as Pallas kernels (ops/pallas_parse) instead of XLA
     pointer-doubling + scatters.  ``overflow`` (B,) flags members that
     did not fit the per-chunk slot budget (re-encode with cap=512).
+
+    ``lazy``/``cap``/``window`` come from EncodeOptions through the
+    encode entry points (parity: the reference's builder surface,
+    src/deflate/encode.rs:17-128 + DefaultLz77EncoderBuilder); the
+    LIBFLATE_DEVICE_GREEDY / LIBFLATE_PARSE_CAP / LIBFLATE_DEVICE_WINDOW
+    env vars remain A/B overrides that win over the options.
     """
     import os
     from .pallas_lz77 import prefix_candidates_pallas
     from .pallas_parse import parse_tokens_pallas
-    if lazy is None:
-        lazy = os.environ.get("LIBFLATE_DEVICE_GREEDY") != "1"
-    if cap is None:
-        cap = _parse_cap()
-    window = int(os.environ.get("LIBFLATE_DEVICE_WINDOW", "32768"))
+    if os.environ.get("LIBFLATE_DEVICE_GREEDY") == "1":
+        lazy = False
+    elif lazy is None:
+        lazy = True
+    if os.environ.get("LIBFLATE_PARSE_CAP"):
+        cap = int(os.environ["LIBFLATE_PARSE_CAP"])
+    elif cap is None:
+        cap = PARSE_CAP
+    if os.environ.get("LIBFLATE_DEVICE_WINDOW"):
+        window = int(os.environ["LIBFLATE_DEVICE_WINDOW"])
+    elif window is None:
+        window = 32768
     cand = prefix_candidates_pallas(blocks, window=window)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
@@ -169,6 +178,15 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
                                    use_kernel, window)
     return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
+
+
+def _device_knobs(options) -> dict:
+    """EncodeOptions -> device tokenizer kwargs (lazy/cap/window)."""
+    if options is None:
+        return {}
+    return {"lazy": bool(options.lazy),
+            "cap": options.parse_cap,
+            "window": int(options.window_size)}
 
 
 def _use_padded_parse(blocks: jnp.ndarray) -> bool:
@@ -527,7 +545,9 @@ def _sync_offsets_padded(widths: jnp.ndarray, valid: jnp.ndarray, k: int):
 
 def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                        bfinal: jnp.ndarray, k: int,
-                       cap: int | None = None):
+                       cap: int | None = None,
+                       lazy: bool | None = None,
+                       window: int | None = None):
     """Shared-table batch encode that also returns the sync index.
 
     Returns (words (B, W), bits (B,), n_tokens (B,), offsets (B, S),
@@ -539,7 +559,8 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     """
     if _use_padded_parse(blocks):
         a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid,
-                                                 cap=cap)
+                                                 lazy=lazy, cap=cap,
+                                                 window=window)
         values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                               valid=valid)
         words, bits = _pack_batch(values, widths)
@@ -585,7 +606,9 @@ def use_cols_encoder(blocks) -> bool:
 
 def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                             bfinal: jnp.ndarray, k: int,
-                            cap: int | None = None):
+                            cap: int | None = None,
+                            lazy: bool | None = None,
+                            window: int | None = None):
     """Shared-table sync encode via the Pallas pack kernel.
 
     Like _encode_batch_sync_packed but the bit pack runs in
@@ -598,7 +621,8 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     sync_offsets x S, chunk_starts x (n_ch + 1)].
     """
     from .checksum import crc32_f_rows
-    a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid, cap=cap)
+    a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid, lazy=lazy,
+                                             cap=cap, window=window)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                           valid=valid)
     cols, starts, bits = _pack_chunks_device(values, widths)
@@ -622,7 +646,9 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
 
 def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                               bfinal: jnp.ndarray, k: int,
-                              cap: int | None = None):
+                              cap: int | None = None,
+                              lazy: bool | None = None,
+                              window: int | None = None):
     """_encode_batch_sync + fused member CRCs, small outputs packed.
 
     Returns (words (B, W) uint32, small (B, 4+S) int32) with small rows
@@ -634,7 +660,7 @@ def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     """
     from .checksum import crc32_f_rows
     words, bits, cnt, offsets, ovf = _encode_batch_sync(
-        blocks, n_valid, bfinal, k, cap)
+        blocks, n_valid, bfinal, k, cap, lazy=lazy, window=window)
     crc_f = crc32_f_rows(blocks)
     return words, _pack_small(bits, cnt, crc_f, ovf, offsets)
 

@@ -86,6 +86,86 @@ def decode_members_sharded(words: np.ndarray, starts: np.ndarray,
     return np.asarray(out), np.asarray(n_out), np.asarray(err)
 
 
+def encode_sync_sharded(blocks: np.ndarray, n_valid: np.ndarray,
+                        bfinal: np.ndarray, k: int, mesh=None):
+    """Flagship path, mesh-sharded: shared-table sync encode.
+
+    The PGZF production pipeline's XLA twin — batch-global histograms
+    (the per-shard sums cross shard boundaries, so XLA inserts
+    all-reduce collectives over the mesh axis), one shared Huffman
+    header per member, and the per-member sync offsets (the "LS" index
+    the sync decode kernel consumes).
+
+    Returns host numpy (words (B, W) uint32, bits (B,), n_tokens (B,),
+    offsets (B, S) int32).
+    """
+    from ..ops.pipeline import _encode_batch_sync
+    mesh = mesh or make_mesh()
+    sh = block_sharding(mesh)
+
+    @functools.partial(jax.jit, static_argnums=(3,),
+                       in_shardings=(sh, sh, sh),
+                       out_shardings=(sh, sh, sh, sh, sh))
+    def _run(b, nv, bf, kk):
+        return _encode_batch_sync(b, nv, bf, kk)
+
+    words, bits, cnt, offsets, _ovf = _run(
+        jax.device_put(jnp.asarray(blocks), sh),
+        jax.device_put(jnp.asarray(n_valid), sh),
+        jax.device_put(jnp.asarray(bfinal), sh), k)
+    return (np.asarray(words), np.asarray(bits), np.asarray(cnt),
+            np.asarray(offsets))
+
+
+def decode_sync_sharded(words: np.ndarray, chunk_bits: np.ndarray,
+                        chunk_counts: np.ndarray,
+                        lit_lengths: np.ndarray, dist_lengths: np.ndarray,
+                        k: int, mesh=None):
+    """Chunk-parallel sync decode across the mesh (XLA twin of
+    ops/pallas_sync_decode): every K-token chunk decodes independently
+    from its LS bit offset, chunks data-parallel over the mesh.
+
+    words: (C, W) uint32 per-chunk word views (replicate the member's
+    words per chunk); chunk_bits: (C,) int32 absolute start bits;
+    chunk_counts: (C,) tokens per chunk (<= k); lit/dist lengths are
+    the SHARED code set (1, 286)/(1, 30).
+
+    Returns packed tokens (C, k) int32 (a | b<<9).
+    """
+    from ..ops.deflate_decode import _symbol_step
+    mesh = mesh or make_mesh()
+    sh = block_sharding(mesh)
+    c_n = words.shape[0]
+
+    @functools.partial(jax.jit, static_argnums=(5,),
+                       in_shardings=(sh, sh, sh, None, None),
+                       out_shardings=sh)
+    def _run(w, s, cnts, ll, dl, kk):
+        lit_t, dist_t = tables_from_lengths(ll, dl)
+        lit_t = jnp.broadcast_to(lit_t, (w.shape[0], lit_t.shape[1]))
+        dist_t = jnp.broadcast_to(dist_t, (w.shape[0], dist_t.shape[1]))
+
+        def step(carry, i):
+            pos = carry
+            a, b, new_pos, _eob, _bad = _symbol_step(w, pos, lit_t,
+                                                     dist_t)
+            active = i < cnts
+            pos = jnp.where(active, new_pos, pos)
+            tok = jnp.where(active,
+                            jnp.clip(a, 0, 511) | (b << 9), 0)
+            return pos, tok
+
+        _, toks = jax.lax.scan(step, s.astype(jnp.int32),
+                               jnp.arange(kk, dtype=jnp.int32))
+        return jnp.transpose(toks)                 # (C, k)
+
+    return np.asarray(_run(
+        jax.device_put(jnp.asarray(words), sh),
+        jax.device_put(jnp.asarray(chunk_bits), sh),
+        jax.device_put(jnp.asarray(chunk_counts), sh),
+        jnp.asarray(lit_lengths), jnp.asarray(dist_lengths), k))
+
+
 def combine_shard_crcs(crcs: list[int], lengths: list[int]) -> int:
     """Fold ordered per-shard CRCs into the stream CRC (host edge)."""
     total = 0

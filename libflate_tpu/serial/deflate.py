@@ -43,6 +43,9 @@ class EncodeOptions:
     max_match: int = C.MAX_MATCH
     max_chain: int = 32
     lazy: bool = True
+    #: device-only: token-slot budget per 512-position parse chunk
+    #: (ops/pipeline.PARSE_CAP when None); the serial matchers ignore it
+    parse_cap: int | None = None
 
     def tokenize(self, data: bytes) -> list[Token]:
         if self.matcher == "none":

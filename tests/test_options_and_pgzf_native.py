@@ -80,3 +80,27 @@ class TestPgzfNative:
         assert pgzf.decompress(zn, engine="tpu") == data
         zt = pgzf.compress(data, member_size=8192, engine="tpu")
         assert pgzf.decompress(zt, engine="native") == data
+
+    def test_device_knobs_through_options(self, monkeypatch):
+        """VERDICT r2 item 7: window / parse_cap / lazy ride
+        EncodeOptions into the device encoder (env vars remain as
+        overrides) — a smaller window must round-trip and change the
+        stream, runnable through the public API."""
+        monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+        from libflate_tpu.serial.deflate import EncodeOptions
+
+        rng = np.random.default_rng(5)
+        words = [bytes(rng.integers(97, 123, 6, dtype=np.uint8))
+                 for _ in range(30)]
+        data = b" ".join(words[int(i) % 30] for i in
+                         rng.zipf(1.3, 4000))[:16384]
+        z_full = pgzf.compress(data, member_size=8192, engine="tpu",
+                               options=EncodeOptions())
+        z_small = pgzf.compress(
+            data, member_size=8192, engine="tpu",
+            options=EncodeOptions(window_size=1024, lazy=False,
+                                  parse_cap=512))
+        assert pygzip.decompress(z_small) == data
+        assert pygzip.decompress(z_full) == data
+        assert z_small != z_full     # the knobs actually reached the
+        #                              matcher (1 KiB window, greedy)
