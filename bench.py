@@ -132,7 +132,7 @@ def main() -> None:
                 signal.alarm(0)
 
         enc_budget = int(os.environ.get("BENCH_DEVICE_ENC_TIMEOUT", "560"))
-        dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "90"))
+        dec_budget = int(os.environ.get("BENCH_DEVICE_DEC_TIMEOUT", "240"))
 
         # The first device dispatch occasionally stalls for minutes in
         # this container (axon relay flake — observed once in ~10 runs;
@@ -185,9 +185,30 @@ def main() -> None:
                 ker = _kernel_side_decode(stream_dev, nbytes)
                 if ker:
                     extra.update(ker)
-                    _log(f"device kernel-side decode "
-                         f"{ker['device_decode_kernel_gbps']} GB/s "
-                         f"({ker['device_kernel_ms']} ms)")
+                    if "device_decode_kernel_gbps" in ker:
+                        _log(f"device kernel-side decode (full chain) "
+                             f"{ker['device_decode_kernel_gbps']} GB/s "
+                             f"({ker['device_kernel_ms']} ms; sync "
+                             f"kernel alone "
+                             f"{ker['device_sync_kernel_ms']} ms)")
+                    else:
+                        _log(f"device kernel coverage failed: "
+                             f"{ker.get('device_kernel_coverage_error')}")
+
+            with stage_budget("to_device", dec_budget):
+                # decompress-into-training-batch e2e: host bytes in,
+                # plaintext stays ON DEVICE (one scalar read forces
+                # completion) — the production consumption shape
+                from libflate_tpu.formats import pgzf as _pgzf
+                plain, lens = _pgzf.decompress_to_device(stream_dev)
+                np.asarray(plain[0, 0])
+                t0 = time.perf_counter()
+                plain, lens = _pgzf.decompress_to_device(stream_dev)
+                np.asarray(plain[0, 0])
+                dt = time.perf_counter() - t0
+                extra["tpu_decode_to_device_gbps"] = round(gb / dt, 4)
+                _log(f"device decode-to-device e2e "
+                     f"{gb / dt:.4f} GB/s (plaintext device-resident)")
 
             with stage_budget("enc_kernel", dec_budget):
                 ker = _kernel_side_encode(data)
@@ -206,20 +227,25 @@ def main() -> None:
 
     if not results:
         raise SystemExit("no engine available to benchmark")
-    if ("device_decode_kernel_gbps" in extra and "tpu" in results
-            and results["tpu"][1] is not None):
-        # the TPU path round-tripped bit-exact end-to-end; headline its
-        # kernel-side decode rate (device-resident IO — the production
-        # serving shape).  This container's 40 MB/s D2H tunnel and
-        # ~28 ms dispatch floor are environment artifacts; the e2e
-        # rates for every engine stay in extra.
+    best = max(results, key=lambda k: results[k][1] or 0.0)
+    value = results[best][1]
+    if (extra.get("device_decode_kernel_gbps", 0) > value
+            and "tpu" in results and results["tpu"][1] is not None):
+        # the TPU full decode chain (sync kernel + expansion + CRC,
+        # device-resident IO, coverage + bit-exactness asserted in
+        # _kernel_side_decode) beats every measured e2e rate — headline
+        # it.  This container's 40 MB/s D2H tunnel and ~28 ms dispatch
+        # floor are environment artifacts; the e2e rates for every
+        # engine stay in extra.
         best = "tpu"
         value = extra["device_decode_kernel_gbps"]
-        extra["headline"] = ("tpu kernel-side decode, device-resident "
-                             "IO; e2e rates per engine in extra")
+        extra["headline"] = ("tpu kernel-side FULL decode chain, "
+                             "device-resident IO; e2e rates per engine "
+                             "in extra")
     else:
-        best = max(results, key=lambda k: results[k][1] or 0.0)
-        value = results[best][1]
+        extra["headline"] = (f"best end-to-end decode ({best}); device "
+                             f"full-chain kernel rate in "
+                             f"device_decode_kernel_gbps")
     extra["engine"] = best
     if results[best][0] is not None:
         extra["encode_gbps"] = round(results[best][0], 4)
@@ -240,111 +266,109 @@ def main() -> None:
 
 
 def _kernel_side_decode(stream: bytes, nbytes: int):
-    """Time the sync decode kernel alone with device-resident inputs.
+    """Time the FULL device decode chain with device-resident IO.
 
-    End-to-end device decode in this container is capped by the ~40 MB/s
-    axon D2H tunnel (an environment artifact: production PCIe/ICI moves
-    the same tokens 2-3 orders of magnitude faster, and decompress-into-
-    training-batch pipelines never leave the device).  The kernel-side
-    number is output bytes / decode-kernel wall time with inputs already
-    staged on device and completion forced via a scalar D2H read.
+    Chain = sync symbol-decode kernel -> transpose reorder -> LZ77
+    expansion (ops/device_expand: mod-collapse + Pallas-gather pointer
+    doubling) -> member CRC32 — every mandatory decode stage after the
+    byte-scale host header parse, nothing on the host.  Gated on full
+    corpus coverage: _prepare_sync_device raises if ANY member is not
+    sync-decodable, and the summed member ISIZEs must equal the corpus
+    byte count, so a regression that drops members to a fallback path
+    fails the measurement instead of inflating it.  Bit-exactness is
+    asserted via the per-member CRC32s computed BY the measured chain.
+
+    End-to-end device decode in this container additionally rides the
+    ~40 MB/s axon D2H tunnel (an environment artifact; decompress-into-
+    training-batch pipelines never leave the device) — the e2e rates
+    are reported separately.
     """
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from libflate_tpu import native
-    from libflate_tpu.formats import gzip as fgzip, pgzf
+    from libflate_tpu.formats import pgzf
     from libflate_tpu.ops import pallas_sync_decode as psd
-    from libflate_tpu.ops.huffman import decode_table
+    from libflate_tpu.ops.checksum import crc32_from_padded_f
 
-    refs = pgzf.index_members(stream)
-    if refs is None or not native.available():
+    if not native.available():
         return None
-    syncs = []
-    for r in refs:
-        hdr, _ = fgzip.Header.decode(stream, r.start)
-        syncs.append(pgzf._parse_sync(hdr))
-    bodies = b"".join(stream[r.body:r.end - 8] for r in refs)
-    offs_b = np.zeros(len(refs) + 1, np.uint64)
-    for i, r in enumerate(refs):
-        offs_b[i + 1] = offs_b[i] + (r.end - 8 - r.body)
-    lit_ls, dist_ls, _st, flags = native.parse_dyn_headers(bodies, offs_b)
-
-    # tables come from the first sync-decodable member (stored-fallback
-    # members have flags != 5 and garbage length rows)
-    tab_i = next((i for i in range(len(refs))
-                  if syncs[i] is not None and flags[i] == 5), None)
-    if tab_i is None:
-        return None
-    k_tok = syncs[tab_i][0]
-    all_offs, all_ext, all_cnt = [], [], []
-    for i, r in enumerate(refs):
-        if syncs[i] is None or flags[i] != 5 or syncs[i][0] != k_tok:
-            continue
-        try:
-            starts, ends, counts_i = pgzf._chunk_spans(syncs[i], r)
-        except ImportError:
-            continue
-        all_offs.extend((r.body * 8 + starts).tolist())
-        all_ext.extend((ends - starts).tolist())
-        all_cnt.extend(counts_i.tolist())
-    if not all_offs:
-        return None
-    ext = np.asarray(all_ext, np.int64)
-    offs_arr = np.asarray(all_offs, np.int64)
-    need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
-    d_words = max(32, -(-need // 32) * 32)
-    staged, sb = psd.stage_chunks(stream, offs_arr, ext, d_words)
-    counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
-    counts[:len(all_cnt)] = all_cnt
-    counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
-    rb = max(int(np.max(lit_ls[tab_i][:286])), 7)
-    lit_t = decode_table(jnp.asarray(lit_ls[tab_i][:286]), rb).astype(jnp.int32)
-    dist_t = decode_table(jnp.asarray(dist_ls[tab_i]), 8).astype(jnp.int32)
-
-    staged_d = jax.device_put(jnp.asarray(staged))
-    sb_d = jax.device_put(jnp.asarray(sb))
-    cnt_d = jax.device_put(jnp.asarray(counts))
+    try:
+        groups = pgzf._prepare_sync_device(stream)
+    except ImportError as e:
+        return {"device_kernel_coverage_error": str(e)}
+    covered = int(sum(int(p["isizes"].sum()) for p in groups))
+    if covered != nbytes:
+        return {"device_kernel_coverage_error":
+                f"members cover {covered} of {nbytes} corpus bytes"}
 
     def sync_read(x):
-        return np.asarray(x[0, 0, 0])   # force completion (axon: b_u_r
-        #                                 does not block; tiny D2H does)
+        return np.asarray(x[(0,) * x.ndim])
 
-    out = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t, k_tok,
-                          root_bits=rb)
-    sync_read(out)
+    # warm + verify: the measured chain's own CRCs must match the
+    # stream trailers (bit-exactness of sync+expand+CRC end to end)
+    for prep in groups:
+        plain, n_out, err, crc_f = pgzf._run_sync_chain(prep)
+        sync_read(err)
+        if bool(np.asarray(err).any()):
+            return {"device_kernel_coverage_error":
+                    "expansion error flag"}
+        crcs = crc32_from_padded_f(np.asarray(crc_f), prep["isizes"],
+                                   prep["member_cap"])
+        if not (crcs == prep["crcs_expected"]).all():
+            return {"device_kernel_coverage_error": "CRC mismatch"}
 
     # Slope methodology: a single dispatch through the axon relay costs
-    # ~28 ms wall regardless of kernel size (measured: a trivial
-    # jitted add has the same floor).  Time 1 and 1+N back-to-back
-    # executions (device-ordered) and take the difference, so the
-    # number reflects sustained kernel throughput, not tunnel RTT.
-    def timed(n):
+    # ~28 ms wall regardless of kernel size.  Time 1 and 1+N
+    # back-to-back executions (device-ordered) and take the difference.
+    def timed(fn, n):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n):
-                o = psd.sync_decode(staged_d, sb_d, cnt_d, lit_t, dist_t,
-                                    k_tok, root_bits=rb)
+                o = fn()
             sync_read(o)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1, t17 = timed(1), timed(17)
-    per_call = max((t17 - t1) / 16, 1e-6)
+    def chain():
+        for prep in groups:
+            o = pgzf._run_sync_chain(prep)[3]
+        return o
+
+    t1, t9 = timed(chain, 1), timed(chain, 9)
+    per_call = max((t9 - t1) / 8, 1e-6)
+
+    def sync_only():
+        for prep in groups:
+            o = psd.sync_decode(prep["staged"], prep["sb"],
+                                prep["counts"], prep["lit_t"],
+                                prep["dist_t"], prep["k_tok"],
+                                root_bits=prep["root_bits"])
+        return o
+
+    sync_read(sync_only())
+    s1, s17 = timed(sync_only, 1), timed(sync_only, 17)
+    per_sync = max((s17 - s1) / 16, 1e-6)
     return {
         "device_decode_kernel_gbps": round(nbytes / 1e9 / per_call, 3),
         "device_kernel_ms": round(per_call * 1000, 3),
+        "device_sync_kernel_gbps": round(nbytes / 1e9 / per_sync, 3),
+        "device_sync_kernel_ms": round(per_sync * 1000, 3),
         "device_kernel_dispatch_floor_ms": round(t1 * 1000, 1),
-        "device_kernel_chunks": len(all_offs),
+        "device_kernel_chunks": int(sum(
+            p["bsz"] * p["max_nc"] for p in groups)),
+        "kernel_covered_bytes": covered,
+        "corpus_bytes": nbytes,
         "device_kernel_note": (
-            "output bytes / sustained sync-decode kernel time, slope-"
-            "measured over 16 back-to-back executions with device-"
-            "resident inputs (a single dispatch pays ~28 ms axon-relay "
-            "RTT; e2e additionally rides a ~40 MB/s D2H tunnel — both "
-            "container artifacts, see docs/ROADMAP.md)"),
+            "FULL decode chain (sync symbol kernel + device LZ77 "
+            "expansion + member CRC32), device-resident IO, slope-"
+            "measured over 8 back-to-back executions; bit-exactness "
+            "asserted via the chain's own CRCs and full corpus "
+            "coverage asserted (sync-kernel-only rate reported as "
+            "device_sync_kernel_gbps; a single dispatch pays ~28 ms "
+            "axon-relay RTT and e2e additionally rides a ~40 MB/s D2H "
+            "tunnel — container artifacts, see docs/ROADMAP.md)"),
     }
 
 

@@ -119,6 +119,19 @@ def _trace_report(timer, label: str) -> None:
               file=sys.stderr, flush=True)
 
 
+def _maybe_jax_trace():
+    """LIBFLATE_TRACE=jax wraps the codec call in a jax.profiler trace
+    (SURVEY §5 tracing parity; view with TensorBoard/xprof at
+    LIBFLATE_TRACE_DIR or /tmp/libflate_trace).  Any other value keeps
+    the lightweight wall-clock StageTimer only."""
+    import contextlib
+    if os.environ.get("LIBFLATE_TRACE") != "jax":
+        return contextlib.nullcontext()
+    from ..utils.profiling import device_trace
+    return device_trace(os.environ.get("LIBFLATE_TRACE_DIR",
+                                       "/tmp/libflate_trace"))
+
+
 def _parse_sync(hdr: "fgzip.Header"):
     """Parse an LS subfield; None when absent/foreign/malformed."""
     if hdr.extra is None:
@@ -167,7 +180,8 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
             pass
     if engine in ("tpu", None, "auto"):
         try:
-            return _compress_device(data, member_size, options)
+            with _maybe_jax_trace():
+                return _compress_device(data, member_size, options)
         except ImportError:
             pass
     chunks = [data[i:i + member_size]
@@ -294,6 +308,7 @@ def _compress_device(data: bytes, member_size: int, options) -> bytes:
                 # budget (ops/pipeline.PARSE_CAP): its words are
                 # incomplete.  Re-encode the batch at cap=512, which a
                 # 512-position chunk can never overflow.
+                from ..ops.pallas_sync_decode import SYNC_TOKENS
                 from ..ops.pipeline import (_encode_batch_sync_cols,
                                             _encode_batch_sync_packed)
                 enc = (_encode_batch_sync_cols if kernel_pack
@@ -458,12 +473,12 @@ def decompress(data: bytes, engine: str | None = None,
             return _decompress_native(data, refs, verify, n_threads)
         except ImportError:
             pass
-    import os
     if not os.environ.get("LIBFLATE_NO_SYNC"):
         # sync-indexed Pallas path: zero-speculation kernel over the
         # "LS" chunk index (the device encoder emits it by default)
         try:
-            return _decompress_sync_device(data, refs, verify)
+            with _maybe_jax_trace():
+                return _decompress_sync_device(data, refs, verify)
         except ImportError:
             pass
     if not os.environ.get("LIBFLATE_NO_SPEC"):
@@ -737,7 +752,6 @@ def decompress_to_device(data: bytes, verify: bool = False):
     import jax.numpy as jnp
 
     from ..ops import pallas_sync_decode as psd
-    from ..ops.deflate_decode import expand_tokens_device
     from ..ops.huffman import decode_table
     from ..serial.deflate import DeflateError
     from .gzip import GzipError
@@ -745,16 +759,61 @@ def decompress_to_device(data: bytes, verify: bool = False):
     if (jax.default_backend() == "cpu"
             and not os.environ.get("LIBFLATE_PALLAS_INTERPRET")):
         raise ImportError("device decode needs a TPU backend")
-    data = bytes(data)
+    groups = _prepare_sync_device(bytes(data))
+    plains, lens = [], []
+    for prep in groups:
+        plain, n_out, err, crc_f = _run_sync_chain(prep)
+        if bool(np.asarray(err).any()):
+            raise DeflateError("bad back-reference in device expansion")
+        if verify:
+            from ..ops.checksum import crc32_from_padded_f
+            crcs = crc32_from_padded_f(np.asarray(crc_f), prep["isizes"],
+                                       prep["member_cap"])
+            for i in range(len(crcs)):
+                if int(crcs[i]) != int(prep["crcs_expected"][i]):
+                    raise GzipError(
+                        f"gzip CRC mismatch in member "
+                        f"{prep['member0'] + i}")
+        plains.append(plain)
+        lens.append(prep["isizes"])
+    if len(plains) == 1:
+        return plains[0], jnp.asarray(lens[0], jnp.int32)
+    cap = max(p.shape[1] for p in plains)
+    plains = [jnp.pad(p, ((0, 0), (0, cap - p.shape[1])))
+              for p in plains]
+    return (jnp.concatenate(plains, axis=0),
+            jnp.asarray(np.concatenate(lens), jnp.int32))
+
+
+def _prepare_sync_device(data: bytes) -> list[dict]:
+    """Host-side staging for the device decode chain.
+
+    Parses the LS index and headers, splits members into contiguous
+    groups sharing one code table (the shared-table encoder emits one
+    table per 128-member batch), and stages every chunk's bits at a
+    UNIFORM slot stride (member i owns slots [i*max_nc, (i+1)*max_nc)),
+    so the slot-major kernel output reorders into member-major token
+    rows with pure reshapes/transposes (the index gather this replaces
+    cost 18 ms / 8 MiB at XLA's 85 M elem/s ceiling; padding slots have
+    count 0 and only dilute the sync kernel a few %).  Raises
+    ImportError if ANY member is not sync-decodable — callers fall back
+    to the host paths, and the bench reports coverage from this exact
+    check (nothing silently skips to a slower-but-uncounted path).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pallas_sync_decode as psd
+    from ..ops.huffman import decode_table
+
     refs = index_members(data)
     if refs is None:
         raise ImportError("no member index")
-    bsz = len(refs)
-    isizes = np.zeros((bsz,), np.int64)
-    crcs_expected = np.zeros((bsz,), np.uint32)
-    syncs: list = [None] * bsz
+    n_all = len(refs)
+    isizes_all = np.zeros((n_all,), np.int64)
+    crcs_all = np.zeros((n_all,), np.uint32)
+    syncs: list = [None] * n_all
     for i, ref in enumerate(refs):
-        crcs_expected[i], isizes[i] = struct.unpack_from(
+        crcs_all[i], isizes_all[i] = struct.unpack_from(
             "<II", data, ref.end - 8)
         hdr, _ = fgzip.Header.decode(data, ref.start)
         syncs[i] = _parse_sync(hdr)
@@ -765,91 +824,126 @@ def decompress_to_device(data: bytes, verify: bool = False):
     if not native.available():
         raise ImportError("needs the native header parser")
     bodies = b"".join(data[r.body:r.end - 8] for r in refs)
-    offs_b = np.zeros(bsz + 1, np.uint64)
+    offs_b = np.zeros(n_all + 1, np.uint64)
     for i, r in enumerate(refs):
         offs_b[i + 1] = offs_b[i] + (r.end - 8 - r.body)
     lit_ls, dist_ls, starts64, flags = native.parse_dyn_headers(
         bodies, offs_b)
     if not ((flags == 5).all() and int(lit_ls.max()) <= 12
-            and int(dist_ls.max()) <= 8
-            and (lit_ls == lit_ls[0]).all() and (dist_ls == dist_ls[0]).all()):
-        raise ImportError("not a single-table sync stream")
+            and int(dist_ls.max()) <= 8):
+        raise ImportError("not a sync-decodable shared-table stream")
 
-    k_tok = syncs[0][0]
-    chunk_offs, chunk_ext, chunk_cnt = [], [], []
-    spans = []                         # (member, first slot, n_chunks)
-    for i, ref in enumerate(refs):
-        if syncs[i][0] != k_tok:
-            raise ImportError("mixed sync chunk sizes")
-        if int(syncs[i][2]) != int(starts64[i]):
-            raise ImportError("sync index disagrees with block header")
-        starts, ends, counts_i = _chunk_spans(syncs[i], ref)
-        spans.append((i, len(chunk_offs), len(starts)))
-        chunk_offs.extend((ref.body * 8 + starts).tolist())
-        chunk_ext.extend((ends - starts).tolist())
-        chunk_cnt.extend(counts_i.tolist())
+    # contiguous groups with identical tables and chunk size
+    bounds = [0]
+    for i in range(1, n_all):
+        if not ((lit_ls[i] == lit_ls[bounds[-1]]).all()
+                and (dist_ls[i] == dist_ls[bounds[-1]]).all()
+                and syncs[i][0] == syncs[bounds[-1]][0]):
+            bounds.append(i)
+    bounds.append(n_all)
 
-    ext = np.asarray(chunk_ext, np.int64)
-    offs_arr = np.asarray(chunk_offs, np.int64)
-    need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
-    d_words = max(32, -(-need // 32) * 32)
-    staged, sb = psd.stage_chunks(data, offs_arr, ext, d_words)
-    s_n = len(chunk_offs)
-    counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
-    counts[:s_n] = chunk_cnt
-    counts = counts.reshape(staged.shape[0], psd.SUBLANES, psd.LANES)
-    rb = max(int(np.max(lit_ls[0][:C.MAX_LITLEN_SYMBOLS])), 7)
-    lit_t = decode_table(
-        jnp.asarray(lit_ls[0][:C.MAX_LITLEN_SYMBOLS]), rb)
-    dist_t = decode_table(jnp.asarray(dist_ls[0]), 8)
-    out = psd.sync_decode(jnp.asarray(staged), jnp.asarray(sb),
-                          jnp.asarray(counts), lit_t.astype(jnp.int32),
-                          dist_t.astype(jnp.int32), k_tok, root_bits=rb)
+    member_cap = int(isizes_all.max(initial=1))
+    member_cap = 1 << max(10, (member_cap - 1).bit_length())
 
-    # device-side reorder: one gather maps (chunk slot, token) -> the
-    # member-major token sequence; indices are host-built (byte-scale)
-    max_t = max(int(s[1]) for s in syncs)
-    stride = -(-max_t // 1024) * 1024
-    idx = np.zeros((bsz, stride), np.int64)
-    cnt_tok = np.zeros((bsz,), np.int32)
-    for i, s0, nc in spans:
-        nt = int(syncs[i][1])
-        cnt_tok[i] = nt
-        # token t of member i lives at slot s0 + t//K, row (t%K), with
-        # slot s -> (p, sub, lane) = (s//1024, s%1024//128, s%128)
-        t = np.arange(nt, dtype=np.int64)
-        s = s0 + t // k_tok
-        flat = ((s // psd.SLOTS) * (k_tok * psd.SLOTS)
-                + (t % k_tok) * psd.SLOTS
-                + ((s % psd.SLOTS) // psd.LANES) * psd.LANES
-                + (s % psd.LANES))
-        idx[i, :nt] = flat
-    toks = jnp.take(out.reshape(-1), jnp.asarray(idx), axis=0)
-    a = toks & 511
-    b = toks >> 9
-    member_cap = int(isizes.max(initial=1))
-    member_cap = 1 << max(8, (member_cap - 1).bit_length())
-    plain, n_out, err = expand_tokens_device(
-        a.astype(jnp.int32), b.astype(jnp.int32),
-        jnp.asarray(cnt_tok), member_cap)
-    if bool(np.asarray(err).any()):
-        raise DeflateError("bad back-reference in device expansion")
-    if verify:
-        from ..ops.checksum import crc32_batch_jax
-        # right-align rows for the batched CRC (device-side roll)
-        shift = member_cap - jnp.asarray(isizes, jnp.int32)
-        cols = jnp.arange(member_cap, dtype=jnp.int32)[None, :]
-        src = cols - shift[:, None]
-        right = jnp.where(src >= 0,
-                          jnp.take_along_axis(
-                              plain, jnp.clip(src, 0, member_cap - 1),
-                              axis=1), 0)
-        crcs = np.asarray(crc32_batch_jax(right,
-                                          jnp.asarray(isizes, jnp.int32)))
-        for i in range(bsz):
-            if int(crcs[i]) != int(crcs_expected[i]):
-                raise GzipError(f"gzip CRC mismatch in member {i}")
-    return plain, jnp.asarray(isizes, jnp.int32)
+    groups = []
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        bsz = g1 - g0
+        k_tok = syncs[g0][0]
+        nc = np.zeros((bsz,), np.int64)
+        for j, i in enumerate(range(g0, g1)):
+            if int(syncs[i][2]) != int(starts64[i]):
+                raise ImportError(
+                    "sync index disagrees with block header")
+            nc[j] = -(-int(syncs[i][1]) // k_tok)
+        max_nc = int(nc.max(initial=1))
+        s_total = bsz * max_nc
+        offs_arr = np.zeros((s_total,), np.int64)
+        ext = np.zeros((s_total,), np.int64)
+        cnt_sl = np.zeros((s_total,), np.int64)
+        for j, i in enumerate(range(g0, g1)):
+            starts, ends, counts_i = _chunk_spans(syncs[i], refs[i])
+            s0 = j * max_nc
+            offs_arr[s0:s0 + len(starts)] = refs[i].body * 8 + starts
+            ext[s0:s0 + len(starts)] = ends - starts
+            cnt_sl[s0:s0 + len(starts)] = counts_i
+
+        need = int(((ext + (offs_arr & 31) + 64 + 31) >> 5).max())
+        d_words = max(32, -(-need // 32) * 32)
+        staged, sb = psd.stage_chunks(data, offs_arr, ext, d_words)
+        counts = np.zeros(staged.shape[0] * psd.SLOTS, np.int32)
+        counts[:s_total] = cnt_sl
+        counts = counts.reshape(staged.shape[0], psd.SUBLANES,
+                                psd.LANES)
+        rb = max(int(np.max(lit_ls[g0][:C.MAX_LITLEN_SYMBOLS])), 7)
+        groups.append({
+            "staged": jnp.asarray(staged), "sb": jnp.asarray(sb),
+            "counts": jnp.asarray(counts),
+            "lit_t": decode_table(
+                jnp.asarray(lit_ls[g0][:C.MAX_LITLEN_SYMBOLS]),
+                rb).astype(jnp.int32),
+            "dist_t": decode_table(jnp.asarray(dist_ls[g0]),
+                                   8).astype(jnp.int32),
+            "k_tok": k_tok, "root_bits": rb, "p": staged.shape[0],
+            "bsz": bsz, "max_nc": max_nc, "member_cap": member_cap,
+            "n_tokens": jnp.asarray(np.array(
+                [int(syncs[i][1]) for i in range(g0, g1)], np.int32)),
+            "isizes": isizes_all[g0:g1],
+            "crcs_expected": crcs_all[g0:g1],
+            "member0": g0,
+        })
+    return groups
+
+
+def _run_sync_chain(prep: dict):
+    """Device-only decode chain: sync kernel -> reorder -> expansion ->
+    CRC.  Everything after _prepare_sync_device; what the bench
+    slope-times as the kernel-side full decode."""
+    from ..ops import pallas_sync_decode as psd
+
+    out = psd.sync_decode(prep["staged"], prep["sb"], prep["counts"],
+                          prep["lit_t"], prep["dist_t"], prep["k_tok"],
+                          root_bits=prep["root_bits"])
+    return _sync_to_plain(out, prep["p"], prep["bsz"], prep["max_nc"],
+                          prep["k_tok"], prep["n_tokens"],
+                          prep["member_cap"])
+
+
+def _sync_to_plain(out, p_: int, bsz: int, max_nc: int, k_tok: int,
+                   n_tokens, member_cap: int):
+    """Sync-kernel output -> plaintext, one fused device graph.
+
+    Transpose-reorder (uniform slot stride), device expansion
+    (ops/device_expand: mod-collapse + Pallas-gather doubling) and the
+    member CRC f-values — the full decode tail after symbol decode,
+    with no gathers on the XLA ceiling and no host round-trips.
+    """
+    return _sync_to_plain_jit()(out, n_tokens, p_, bsz, max_nc, k_tok,
+                                member_cap)
+
+
+def _sync_to_plain_jit():
+    import functools
+
+    import jax
+
+    if not hasattr(_sync_to_plain_jit, "_fn"):
+        @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+        def _fn(out, n_tokens, p_, bsz, max_nc, k_tok, member_cap):
+            from ..ops import pallas_sync_decode as psd
+            from ..ops.checksum import crc32_f_rows
+            from ..ops.device_expand import expand_members
+
+            toks = out.reshape(p_, k_tok, psd.SUBLANES, psd.LANES)
+            toks = toks.transpose(0, 2, 3, 1).reshape(
+                p_ * psd.SLOTS, k_tok)
+            packed = toks[:bsz * max_nc].reshape(bsz, max_nc * k_tok)
+            plain, n_out, err = expand_members(packed, n_tokens,
+                                               member_cap)
+            crc_f = crc32_f_rows(plain)
+            return plain, n_out, err, crc_f
+
+        _sync_to_plain_jit._fn = _fn
+    return _sync_to_plain_jit._fn
 
 
 def _decompress_shared_device(data: bytes, refs: list[MemberRef],

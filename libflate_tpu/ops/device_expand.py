@@ -140,8 +140,35 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
     src = jnp.clip(src, 0, out_cap - 1)
     src = jnp.where(live, src, pos)          # padding: fixpoints
 
-    # pointer doubling to the literal roots: square the map each round
-    # (literals are fixpoints, so m^(2^k) converges in log2(depth))
+    # Two-level pointer chase to the literal roots.
+    #
+    # Phase 1 — intra-block: follow chains only while they stay inside
+    # the position's own 2^block_bits-entry block.  The gather indices
+    # are clamped in-block, so the gather kernel's dynamic block-range
+    # scan touches ~1 block instead of the whole member (~8x cheaper
+    # per round).  Fixpoint: every position holds either its literal
+    # root or its chain's first OUT-OF-BLOCK hop.
+    #
+    # Phase 2 — global doubling on that map: every hop now lands in a
+    # strictly earlier block, so depth <= member/blocksize (8) and the
+    # full-cost rounds collapse to ~log2(8)+1.
+    block_bits = max(10, out_cap.bit_length() - 4)     # 8-16 blocks
+    pos_blk = pos >> block_bits
+
+    def l_cond(state):
+        s, r, changed = state
+        return changed & (r < max_rounds)
+
+    def l_body(state):
+        s, r, _ = state
+        upd = (s >> block_bits) == pos_blk
+        idx = jnp.where(upd, s, pos)                   # in-block only
+        s2 = jnp.where(upd, _gather_flat(s, idx), s)
+        return s2, r + 1, jnp.any(s2 != s)
+
+    s_mid, _, _ = jax.lax.while_loop(
+        l_cond, l_body, (src, jnp.int32(0), jnp.bool_(True)))
+
     def db_cond(state):
         s, r, changed = state
         return changed & (r < max_rounds)
@@ -152,7 +179,7 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
         return s2, r + 1, jnp.any(s2 != s)
 
     s_final, _, changed = jax.lax.while_loop(
-        db_cond, db_body, (src, jnp.int32(0), jnp.bool_(True)))
+        db_cond, db_body, (s_mid, jnp.int32(0), jnp.bool_(True)))
     unresolved = jnp.any(
         (_gather_flat(is_lit.astype(jnp.int32), s_final) == 0) & live
         & ~is_lit, axis=1)

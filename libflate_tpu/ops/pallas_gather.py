@@ -59,13 +59,10 @@ def _gather_kernel(tab_ref, idx_ref, out_ref, *, rows: int, n_out: int,
             return acc
 
         if skip:
-            # predicated scan: blocks outside [gmin, gmax] cost ~2 cycles
-            def blk_body(c, acc):
-                return jax.lax.cond(
-                    (c >= gmin) & (c <= gmax),
-                    lambda a: do_block(c, a), lambda a: a, acc)
-
-            acc = jax.lax.fori_loop(0, n_blocks, blk_body, acc)
+            # dynamic-bound scan over just the blocks the vreg's index
+            # range touches (A/B on chase-shaped indices: 6.8 ms vs
+            # 8.0 full vs 10.0 lax.cond-predicated per 8.4M)
+            acc = jax.lax.fori_loop(gmin, gmax + 1, do_block, acc)
         else:
             for c in range(n_blocks):
                 acc = do_block(c, acc)

@@ -35,9 +35,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 LANES = 128
 SUB = 8
-BUCKETS = 4096               # 12-bit hash; 2 MiB VMEM table
+#: hash buckets (per-lane single-slot table).  More buckets = fewer
+#: collisions = better ratio, at VMEM (BUCKETS*512 B) + insert-sweep
+#: cost linear in BUCKETS.  Overridable for A/Bs.
+BUCKETS = int(os.environ.get("LIBFLATE_HASH_BUCKETS", "4096"))
 GROUPS = BUCKETS // SUB
 CHUNK_POS = 2048             # positions per grid step
 
