@@ -154,23 +154,18 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     encode entry points (parity: the reference's builder surface,
     src/deflate/encode.rs:17-128 + DefaultLz77EncoderBuilder); the
     LIBFLATE_DEVICE_GREEDY / LIBFLATE_PARSE_CAP / LIBFLATE_DEVICE_WINDOW
-    env vars remain A/B overrides that win over the options.
+    env vars are A/B overrides filling UNSET (None) knobs — an explicit
+    argument (e.g. the overflow re-encode's cap=512) always wins.
     """
     import os
     from .pallas_lz77 import prefix_candidates_pallas
     from .pallas_parse import parse_tokens_pallas
-    if os.environ.get("LIBFLATE_DEVICE_GREEDY") == "1":
-        lazy = False
-    elif lazy is None:
-        lazy = True
-    if os.environ.get("LIBFLATE_PARSE_CAP"):
-        cap = int(os.environ["LIBFLATE_PARSE_CAP"])
-    elif cap is None:
-        cap = PARSE_CAP
-    if os.environ.get("LIBFLATE_DEVICE_WINDOW"):
-        window = int(os.environ["LIBFLATE_DEVICE_WINDOW"])
-    elif window is None:
-        window = 32768
+    if lazy is None:
+        lazy = os.environ.get("LIBFLATE_DEVICE_GREEDY") != "1"
+    if cap is None:
+        cap = int(os.environ.get("LIBFLATE_PARSE_CAP", str(PARSE_CAP)))
+    if window is None:
+        window = int(os.environ.get("LIBFLATE_DEVICE_WINDOW", "32768"))
     cand = prefix_candidates_pallas(blocks, window=window)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
@@ -181,12 +176,22 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
 
 
 def _device_knobs(options) -> dict:
-    """EncodeOptions -> device tokenizer kwargs (lazy/cap/window)."""
+    """EncodeOptions -> device tokenizer kwargs (lazy/cap/window).
+
+    Only knobs the caller actually changed from their defaults are
+    passed down, so env-var A/Bs keep working for default options while
+    explicitly-set options win over the env vars.
+    """
     if options is None:
         return {}
-    return {"lazy": bool(options.lazy),
-            "cap": options.parse_cap,
-            "window": int(options.window_size)}
+    knobs = {}
+    if getattr(options, "parse_cap", None) is not None:
+        knobs["cap"] = int(options.parse_cap)
+    if getattr(options, "window_size", C.MAX_DISTANCE) != C.MAX_DISTANCE:
+        knobs["window"] = int(options.window_size)
+    if getattr(options, "lazy", True) is False:
+        knobs["lazy"] = False
+    return knobs
 
 
 def _use_padded_parse(blocks: jnp.ndarray) -> bool:
