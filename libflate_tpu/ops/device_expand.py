@@ -33,8 +33,12 @@ from .pallas_gather import LANES, flatten_rows, gather_rows
 
 
 def _gather_flat(table_2d: jnp.ndarray, idx_2d: jnp.ndarray,
-                 skip: bool = True) -> jnp.ndarray:
-    """(B, M) table + (B, N) int32 idx -> (B, N) int32 values."""
+                 skip: bool = True, block: int = 8) -> jnp.ndarray:
+    """(B, M) table + (B, N) int32 idx -> (B, N) int32 values.
+
+    Default block=8: every gather here has near-monotone indices
+    (token ids / bucket-local starts, ~2-3 table-row spread per vreg),
+    where an 8-row locality-skip unit scans ~8x less than 64."""
     bsz, m = table_2d.shape
     n = idx_2d.shape[1]
     pad_m = (-m) % (8 * LANES)
@@ -44,7 +48,8 @@ def _gather_flat(table_2d: jnp.ndarray, idx_2d: jnp.ndarray,
     if pad_n:
         idx_2d = jnp.pad(idx_2d, ((0, 0), (0, pad_n)))
     out = gather_rows(flatten_rows(table_2d.astype(jnp.int32)),
-                      flatten_rows(idx_2d.astype(jnp.int32)), skip=skip)
+                      flatten_rows(idx_2d.astype(jnp.int32)), skip=skip,
+                      block=block)
     return out.reshape(bsz, -1)[:, :n]
 
 
@@ -100,14 +105,17 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
             kernel / native packing.
         n_tokens: (B,) int32 valid token counts.
         out_cap: static output capacity per member (multiple of 1024).
-        max_rounds: pointer-doubling safety bound (2^rounds >= deepest
-            possible chain; 18 covers out_cap 2^18).
+        max_rounds: unused (kept for API compatibility — the fused
+            resolve kernel is single-pass).
 
     Returns:
         (out (B, out_cap) uint8, n_out (B,) int32, err (B,) bool).
-        err: bad distance (reaches before the member), output overflow,
-        or unresolved chain.
+        err: bad distance (reaches before the member) or output
+        overflow.
     """
+    del max_rounds
+    from .pallas_expand import resolve_bytes
+
     bsz, t = packed.shape
     a = packed & 511
     b = (packed >> 9) & 0xFFFF
@@ -124,10 +132,13 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
     token_id = _token_id_scatter_free(
         jnp.minimum(starts, out_cap - 1), valid, n_tokens, out_cap)
 
-    # per-byte token fields (Pallas gathers from the small token tables)
+    # per-byte token fields: the packed word already carries (a, d), so
+    # two Pallas gathers cover all three fields (start + packed)
+    pk = jnp.where(valid, jnp.where(is_match, packed, a), 0)
     tok_start = _gather_flat(starts, token_id)
-    tok_d = _gather_flat(jnp.where(is_match, b, 0), token_id)
-    tok_a = _gather_flat(a, token_id)
+    tok_pk = _gather_flat(pk, token_id)
+    tok_d = (tok_pk >> 9) & 0xFFFF
+    tok_a = tok_pk & 511
 
     pos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
     is_lit = tok_d == 0
@@ -140,52 +151,11 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
     src = jnp.clip(src, 0, out_cap - 1)
     src = jnp.where(live, src, pos)          # padding: fixpoints
 
-    # Two-level pointer chase to the literal roots.
-    #
-    # Phase 1 — intra-block: follow chains only while they stay inside
-    # the position's own 2^block_bits-entry block.  The gather indices
-    # are clamped in-block, so the gather kernel's dynamic block-range
-    # scan touches ~1 block instead of the whole member (~8x cheaper
-    # per round).  Fixpoint: every position holds either its literal
-    # root or its chain's first OUT-OF-BLOCK hop.
-    #
-    # Phase 2 — global doubling on that map: every hop now lands in a
-    # strictly earlier block, so depth <= member/blocksize (8) and the
-    # full-cost rounds collapse to ~log2(8)+1.
-    block_bits = max(10, out_cap.bit_length() - 4)     # 8-16 blocks
-    pos_blk = pos >> block_bits
-
-    def l_cond(state):
-        s, r, changed = state
-        return changed & (r < max_rounds)
-
-    def l_body(state):
-        s, r, _ = state
-        upd = (s >> block_bits) == pos_blk
-        idx = jnp.where(upd, s, pos)                   # in-block only
-        s2 = jnp.where(upd, _gather_flat(s, idx), s)
-        return s2, r + 1, jnp.any(s2 != s)
-
-    s_mid, _, _ = jax.lax.while_loop(
-        l_cond, l_body, (src, jnp.int32(0), jnp.bool_(True)))
-
-    def db_cond(state):
-        s, r, changed = state
-        return changed & (r < max_rounds)
-
-    def db_body(state):
-        s, r, _ = state
-        s2 = _gather_flat(s, s)
-        return s2, r + 1, jnp.any(s2 != s)
-
-    s_final, _, changed = jax.lax.while_loop(
-        db_cond, db_body, (s_mid, jnp.int32(0), jnp.bool_(True)))
-    unresolved = jnp.any(
-        (_gather_flat(is_lit.astype(jnp.int32), s_final) == 0) & live
-        & ~is_lit, axis=1)
-
+    # fused chase + materialize: one sequential-block kernel pass
+    # (ops/pallas_expand) replaces the two-level doubling rounds and
+    # the final materialize gather
     litvals = jnp.where(is_lit, tok_a & 255, 0)
-    out = _gather_flat(litvals, s_final).astype(jnp.uint8)
+    out = resolve_bytes(src, litvals).astype(jnp.uint8)
     out = jnp.where(live, out, 0).astype(jnp.uint8)
-    err = overflow | bad_dist | unresolved
+    err = overflow | bad_dist
     return out, jnp.minimum(n_out, out_cap), err

@@ -39,23 +39,23 @@ def _interp() -> bool:
 
 
 def _gather_kernel(tab_ref, idx_ref, out_ref, *, rows: int, n_out: int,
-                   skip: bool):
-    n_blocks = -(-rows // BLOCK)
+                   skip: bool, block: int):
+    n_blocks = -(-rows // block)
 
     def body(v, _):
         idx = idx_ref[pl.ds(v * SUB, SUB), :]
         lane = idx & (LANES - 1)
         grp = idx >> 7                                    # table row
         acc = jnp.zeros((SUB, LANES), jnp.int32)
-        gmin = jnp.min(grp) // BLOCK
-        gmax = jnp.max(grp) // BLOCK
+        gmin = jnp.min(grp) // block
+        gmax = jnp.max(grp) // block
 
         def do_block(c, acc):
-            blk = tab_ref[pl.ds(c * BLOCK, BLOCK), :]
-            for u in range(BLOCK):
+            blk = tab_ref[pl.ds(c * block, block), :]
+            for u in range(block):
                 row = jnp.broadcast_to(blk[u, :][None, :], (SUB, LANES))
                 cand = jnp.take_along_axis(row, lane, axis=1)
-                acc = jnp.where(grp == c * BLOCK + u, cand, acc)
+                acc = jnp.where(grp == c * block + u, cand, acc)
             return acc
 
         if skip:
@@ -72,9 +72,9 @@ def _gather_kernel(tab_ref, idx_ref, out_ref, *, rows: int, n_out: int,
     jax.lax.fori_loop(0, n_out // SUB, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("skip",))
+@functools.partial(jax.jit, static_argnames=("skip", "block"))
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
-                skip: bool = True) -> jnp.ndarray:
+                skip: bool = True, block: int = BLOCK) -> jnp.ndarray:
     """Batched per-member flat gather.
 
     Args:
@@ -83,8 +83,12 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
             multiple of 8 (pad rows with anything).
         idx: (B, N, 128) int32 flat entry indices in [0, R*128); N a
             multiple of 8.  Out-of-range indices are clipped.
-        skip: predicate 64-row blocks on each output vreg's index range
+        skip: predicate row blocks on each output vreg's index range
             (fast when indices are local, harmless otherwise).
+        block: rows per predicated block — the locality-skip unit.  64
+            suits window-spread chase indices; 8 suits near-monotone
+            indices (e.g. token-field gathers, ~2-3 row spread per
+            vreg) where a 64-row floor would scan 8x too much.
 
     Returns (B, N, 128) int32 with out[b, i, l] = flat(table[b])[idx].
     """
@@ -92,8 +96,8 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     _, n_out, _ = idx.shape
     assert lanes == LANES and rows % SUB == 0 and n_out % SUB == 0
     idx = jnp.clip(idx.astype(jnp.int32), 0, rows * LANES - 1)
-    if rows % BLOCK:
-        table = jnp.pad(table, ((0, 0), (0, BLOCK - rows % BLOCK), (0, 0)))
+    if rows % block:
+        table = jnp.pad(table, ((0, 0), (0, block - rows % block), (0, 0)))
         rows = table.shape[1]
 
     spec_t = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -102,7 +106,7 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
                           memory_space=pltpu.VMEM)
 
     kern = functools.partial(_gather_kernel, rows=rows, n_out=n_out,
-                             skip=skip)
+                             skip=skip, block=block)
 
     def kfn(t, i, o):
         kern(t.at[0], i.at[0], o.at[0])
