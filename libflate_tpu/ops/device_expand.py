@@ -29,7 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_gather import LANES, flatten_rows, gather_rows
+from .pallas_gather import (LANES, flatten_rows, gather_rows,
+                            gather_two)
 
 
 def _gather_flat(table_2d: jnp.ndarray, idx_2d: jnp.ndarray,
@@ -53,9 +54,29 @@ def _gather_flat(table_2d: jnp.ndarray, idx_2d: jnp.ndarray,
     return out.reshape(bsz, -1)[:, :n]
 
 
+def _gather_two_flat(tab_a: jnp.ndarray, tab_b: jnp.ndarray,
+                     idx_2d: jnp.ndarray, rank_lo: jnp.ndarray,
+                     win: int = 16):
+    """Fused 2-table gather: (B, M) tables + (B, N) monotone idx +
+    (B, N/1024) per-vreg low token ranks -> two (B, N) value arrays."""
+    bsz, m = tab_a.shape
+    n = idx_2d.shape[1]
+    m_min = max(-(-m // (8 * LANES)) * 8 * LANES, win * LANES)
+    if m_min != m:
+        tab_a = jnp.pad(tab_a, ((0, 0), (0, m_min - m)))
+        tab_b = jnp.pad(tab_b, ((0, 0), (0, m_min - m)))
+    rows = tab_a.shape[1] // LANES
+    lo = jnp.clip(((jnp.maximum(rank_lo - 1, 0)) >> 7) & ~7,
+                  0, max(rows - win, 0))
+    oa, ob = gather_two(flatten_rows(tab_a.astype(jnp.int32)),
+                        flatten_rows(tab_b.astype(jnp.int32)),
+                        flatten_rows(idx_2d.astype(jnp.int32)),
+                        lo, win=win)
+    return (oa.reshape(bsz, -1)[:, :n], ob.reshape(bsz, -1)[:, :n])
+
+
 def _token_id_scatter_free(starts: jnp.ndarray, valid: jnp.ndarray,
-                           n_tokens: jnp.ndarray, out_cap: int
-                           ) -> jnp.ndarray:
+                           n_tokens: jnp.ndarray, out_cap: int):
     """Output position -> covering token id, without any XLA scatter.
 
     The scatter+cumsum construction costs ~26 ms per 8 MiB (85 M elem/s
@@ -91,7 +112,7 @@ def _token_id_scatter_free(starts: jnp.ndarray, valid: jnp.ndarray,
                      ).astype(jnp.int32), axis=-1)
         fine = jax.lax.dynamic_update_slice(fine, f, (0, r0, 0))
     token_id = (c_excl[:, :, None] + fine).reshape(bsz, out_cap) - 1
-    return jnp.clip(token_id, 0, t - 1)
+    return jnp.clip(token_id, 0, t - 1), c_excl
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "max_rounds"))
@@ -129,14 +150,19 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
     overflow = n_out > out_cap
 
     # token id per output position (scatter-free; see helper)
-    token_id = _token_id_scatter_free(
+    token_id, c_excl = _token_id_scatter_free(
         jnp.minimum(starts, out_cap - 1), valid, n_tokens, out_cap)
 
     # per-byte token fields: the packed word already carries (a, d), so
-    # two Pallas gathers cover all three fields (start + packed)
+    # one fused two-table gather covers all three fields (start +
+    # packed).  token_id is monotone, so idx vreg v's token window is
+    # [rank(1024v) - 1, rank(1024v) + 1023] — rows derived from the
+    # bucket ranks and handed to the kernel via SMEM (gather_two),
+    # which skips the per-vreg vector->scalar bound reduces that
+    # dominate gather_rows on these indices.
     pk = jnp.where(valid, jnp.where(is_match, packed, a), 0)
-    tok_start = _gather_flat(starts, token_id)
-    tok_pk = _gather_flat(pk, token_id)
+    tok_start, tok_pk = _gather_two_flat(starts, pk, token_id,
+                                         c_excl[:, ::8])
     tok_d = (tok_pk >> 9) & 0xFFFF
     tok_a = tok_pk & 511
 

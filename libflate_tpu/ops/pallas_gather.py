@@ -130,3 +130,85 @@ def unflatten_rows(x: jnp.ndarray) -> jnp.ndarray:
     """(B, R, 128) -> (B, R*128)."""
     bsz, r, lanes = x.shape
     return x.reshape(bsz, r * lanes)
+
+
+def _gather2_kernel(lo_ref, ta_ref, tb_ref, idx_ref, oa_ref, ob_ref, *,
+                    n_vregs: int, win: int):
+    b = pl.program_id(0)
+
+    def body(v, _):
+        idx = idx_ref[pl.ds(v * SUB, SUB), :]
+        lane = idx & (LANES - 1)
+        grp = idx >> 7
+        l0 = lo_ref[b, v]
+        ra = ta_ref[pl.ds(l0, win), :]
+        rb = tb_ref[pl.ds(l0, win), :]
+        aa = jnp.zeros((SUB, LANES), jnp.int32)
+        ab = jnp.zeros((SUB, LANES), jnp.int32)
+        for u in range(win):
+            hit = grp == l0 + u
+            ba = jnp.broadcast_to(ra[u:u + 1, :], (SUB, LANES))
+            bb = jnp.broadcast_to(rb[u:u + 1, :], (SUB, LANES))
+            aa = jnp.where(hit, jnp.take_along_axis(ba, lane, axis=1),
+                           aa)
+            ab = jnp.where(hit, jnp.take_along_axis(bb, lane, axis=1),
+                           ab)
+        oa_ref[pl.ds(v * SUB, SUB), :] = aa
+        ob_ref[pl.ds(v * SUB, SUB), :] = ab
+        return 0
+
+    jax.lax.fori_loop(0, n_vregs, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("win",))
+def gather_two(tab_a: jnp.ndarray, tab_b: jnp.ndarray,
+               idx: jnp.ndarray, lo_rows: jnp.ndarray,
+               win: int = 16):
+    """Fused two-table gather with precomputed per-vreg row windows.
+
+    For near-monotone indices (token-id maps) the per-vreg table window
+    is known host/XLA-side, so the kernel takes it from SMEM instead of
+    paying a vector->scalar min/max reduce per vreg (the dominant cost
+    of gather_rows on such indices), and gathers BOTH tables in one
+    sweep (shared broadcasts of the hit mask and index decode).
+
+    Args:
+        tab_a, tab_b: (B, R, 128) int32 tables (same shape).
+        idx: (B, N, 128) int32 flat indices; every index of vreg v MUST
+            lie in rows [lo_rows[b, v], lo_rows[b, v] + win) of its
+            table (indices outside the window yield 0).
+        lo_rows: (B, N // 8) int32 8-row-aligned window starts (one
+            per idx vreg), clipped to [0, R - win].
+        win: static window height in rows (multiple of 8).
+
+    Returns (out_a, out_b), each (B, N, 128) int32.
+    """
+    bsz, rows, lanes = tab_a.shape
+    _, n_out, _ = idx.shape
+    assert lanes == LANES and tab_b.shape == tab_a.shape
+    assert rows % SUB == 0 and n_out % SUB == 0 and win % SUB == 0
+
+    spec_t = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((1, n_out, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    assert lo_rows.shape == (bsz, n_out // SUB)
+    spec_lo = pl.BlockSpec((bsz, n_out // SUB), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+
+    kern = functools.partial(_gather2_kernel, n_vregs=n_out // SUB,
+                             win=win)
+
+    def kfn(lo, ta, tb, i, oa, ob):
+        kern(lo, ta.at[0], tb.at[0], i.at[0], oa.at[0], ob.at[0])
+
+
+    shape = jax.ShapeDtypeStruct((bsz, n_out, LANES), jnp.int32)
+    return pl.pallas_call(
+        kfn, grid=(bsz,),
+        in_specs=[spec_lo, spec_t, spec_t, spec_i],
+        out_specs=[spec_i, spec_i],
+        out_shape=[shape, shape],
+        interpret=_interp(),
+    )(lo_rows.astype(jnp.int32), tab_a.astype(jnp.int32),
+      tab_b.astype(jnp.int32), idx.astype(jnp.int32))
