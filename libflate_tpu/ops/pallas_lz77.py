@@ -44,6 +44,8 @@ SUB = 8
 #: cost linear in BUCKETS.  Overridable for A/Bs.
 BUCKETS = int(os.environ.get("LIBFLATE_HASH_BUCKETS", "4096"))
 GROUPS = BUCKETS // SUB
+B_BITS = BUCKETS.bit_length() - 1
+FP_BITS = 14                 # fingerprint bits (wrong-key rejection)
 CHUNK_POS = 2048             # positions per grid step
 
 
@@ -60,19 +62,27 @@ def _hash_kernel(h_ref, out_ref, tbl_ref):
     iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
 
     def step(t, _):
-        hvec = h_ref[pl.ds(t * SUB, SUB), :]          # (8,128) bucket ids
-        g = hvec >> 3
-        lo = hvec & 7
+        hvec = h_ref[pl.ds(t * SUB, SUB), :]   # bucket | (fp << B_BITS)
+        hb = hvec & (BUCKETS - 1)
+        fp = hvec >> B_BITS
+        g = hb >> 3
+        lo = hb & 7
 
-        # ---- lookup: cand[s,l] = tbl[hvec[s,l], l] (pre-step state)
+        # ---- lookup: tbl[hb[s,l], l] (pre-step state); slots store
+        # pos | (fp << 17), so a fingerprint mismatch — a wrong-key
+        # bucket collision — rejects to -1 here instead of wasting an
+        # LCP evaluation downstream (~2^-14 false accepts; the LCP
+        # verifies real bytes either way, so this is purely a filter)
         cand = jnp.full((SUB, LANES), -1, jnp.int32)
         for gg in range(GROUPS):
             grp = tbl_ref[pl.ds(gg * SUB, SUB), :]
             val = jnp.take_along_axis(grp, lo, axis=0)
             cand = jnp.where(g == gg, val, cand)
+        cand = jnp.where((cand >= 0) & ((cand >> 17) == fp),
+                         cand & 0x1FFFF, -1)
 
         # ---- intra-step recency: position j's candidate is the latest
-        # i < j in this step with the same bucket
+        # i < j in this step with the same bucket+fp
         rows = [hvec[j:j + 1, :] for j in range(SUB)]
         crows = [cand[j:j + 1, :] for j in range(SUB)]
         base = base_c + t * SUB
@@ -84,11 +94,14 @@ def _hash_kernel(h_ref, out_ref, tbl_ref):
         out_ref[pl.ds(t * SUB, SUB), :] = cand
 
         # ---- insert all 8 positions (later j wins a shared bucket)
+        stored = [(base + j) | ((rows[j] >> B_BITS) << 17)
+                  for j in range(SUB)]
         for gg in range(GROUPS):
             grp = tbl_ref[pl.ds(gg * SUB, SUB), :]
             for j in range(SUB):
-                hit = (rows[j] >> 3 == gg) & (iota == (rows[j] & 7))
-                grp = jnp.where(hit, base + j, grp)
+                hb_j = rows[j] & (BUCKETS - 1)
+                hit = (hb_j >> 3 == gg) & (iota == (hb_j & 7))
+                grp = jnp.where(hit, stored[j], grp)
             tbl_ref[pl.ds(gg * SUB, SUB), :] = grp
         return 0
 
@@ -119,14 +132,22 @@ def hash_candidates(h: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def _keys_hashes(blocks: jnp.ndarray) -> jnp.ndarray:
-    """(B, n) uint8 member bytes -> (n, B) int32 bucket ids."""
+    """(B, n) uint8 member bytes -> (n, B) int32 packed
+    ``bucket | (fingerprint << B_BITS)`` ids: the bucket is the hash's
+    top B_BITS, the fingerprint the next FP_BITS — together 26 bits of
+    the multiplicative hash, so equality means same bucket AND almost
+    surely same 3-byte key."""
     d = blocks.astype(jnp.uint32)
     b, n = d.shape
     pad = jnp.zeros((b, 2), jnp.uint32)
     dd = jnp.concatenate([d, pad], axis=1)
     key = dd[:, :n] | (dd[:, 1:n + 1] << 8) | (dd[:, 2:n + 2] << 16)
-    h = (key * jnp.uint32(2654435761)) >> jnp.uint32(32 - BUCKETS.bit_length() + 1)
-    return jnp.transpose(h.astype(jnp.int32))
+    hv = key * jnp.uint32(2654435761)
+    bucket = hv >> jnp.uint32(32 - B_BITS)
+    fp = (hv >> jnp.uint32(32 - B_BITS - FP_BITS)) & jnp.uint32(
+        (1 << FP_BITS) - 1)
+    return jnp.transpose(
+        (bucket | (fp << B_BITS)).astype(jnp.int32))
 
 
 def prefix_candidates_pallas(blocks: jnp.ndarray,

@@ -67,11 +67,32 @@ def _tokenize_batch_any(blocks: jnp.ndarray, n_valid: jnp.ndarray):
     return _tokenize_batch(blocks, n_valid)
 
 
+def _compose_cand(cand: jnp.ndarray, prev: jnp.ndarray,
+                  window: int) -> jnp.ndarray:
+    """One hash-chain step: the candidate OF the candidate.
+
+    The single-slot table's candidate array IS the chain — cand[q] is
+    the bucket occupant evicted when q inserted — so composing it k
+    times walks the same predecessor chain the reference's zlib-style
+    matchers walk (colliding wrong-key entries are links too; the LCP
+    scores them 0 and the best-of select skips them).  One Pallas
+    gather per level (window-local indices ride the 64-row skip)."""
+    from .pallas_gather import flatten_rows, gather_rows
+    bsz, n = cand.shape
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    r = gather_rows(flatten_rows(cand),
+                    flatten_rows(jnp.clip(prev, 0, n - 1)))
+    r = r.reshape(bsz, n)
+    ok = (prev >= 0) & (r >= 0) & (idx - r <= window)
+    return jnp.where(ok, r, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("lazy", "use_kernel",
-                                              "window"))
+                                              "window", "chain"))
 def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                    cand: jnp.ndarray, lazy: bool = False,
-                   use_kernel: bool = False, window: int = 32768):
+                   use_kernel: bool = False, window: int = 32768,
+                   chain: int = 1):
     """Candidate masking + LCP (+ TOO_FAR / lazy heuristics).
 
     ``use_kernel`` routes the LCP through the Pallas member-in-VMEM
@@ -90,6 +111,30 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     n = blocks.shape[1]
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     cand = jnp.where(idx < n_valid[:, None], cand, -1)
+
+    def lcp(c):
+        if use_kernel:
+            from .pallas_lcp import match_lengths_pallas
+            return match_lengths_pallas(blocks, c, n_valid,
+                                        max_rounds=KERNEL_LCP_ROUNDS,
+                                        window=window)
+        return jax.vmap(
+            lambda d, cc: match_lengths(d, cc,
+                                        max_rounds=KERNEL_LCP_ROUNDS)
+        )(blocks, c)
+
+    if chain > 1:
+        # hash-chain candidates via composition; best-of on true LCPs
+        # (ties -> the nearer candidate: fewer distance bits).
+        # Parity: DefaultLz77EncoderBuilder max_chain / zlib chains.
+        lengths = lcp(cand)
+        deeper = cand
+        for _ in range(chain - 1):
+            deeper = _compose_cand(cand, deeper, window)
+            ld = lcp(deeper)
+            upd = ld > lengths
+            cand = jnp.where(upd, deeper, cand)
+            lengths = jnp.where(upd, ld, lengths)
     # dist-1 (RLE) matches — the common source of long matches — are
     # exact by arithmetic: LCP(i, i-1) = run end - i, where a run end
     # is the first j >= i with data[j] != data[j+1].  With runs handled
@@ -105,16 +150,8 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     is_rle = (cand == idx - 1) & jnp.concatenate(
         [jnp.zeros((blocks.shape[0], 1), jnp.bool_),
          ~neq[:, :-1]], axis=1)
-    if use_kernel:
-        from .pallas_lcp import match_lengths_pallas
-        lengths = match_lengths_pallas(blocks, cand, n_valid,
-                                       max_rounds=KERNEL_LCP_ROUNDS,
-                                       window=window)
-    else:
-        lengths = jax.vmap(
-            lambda d, c: match_lengths(d, c,
-                                       max_rounds=KERNEL_LCP_ROUNDS)
-        )(blocks, cand)
+    if chain <= 1:
+        lengths = lcp(cand)
     lengths = jnp.where(is_rle, jnp.maximum(lengths, rle_len), lengths)
     lengths = jnp.minimum(lengths, jnp.maximum(n_valid[:, None] - idx, 0))
     lengths = jnp.where(lengths >= C.MIN_MATCH, lengths, 0)
@@ -139,7 +176,8 @@ PARSE_CAP = 384
 
 def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                      lazy: bool | None = None, cap: int | None = None,
-                     window: int | None = None):
+                     window: int | None = None,
+                     chain: int | None = None):
     """Kernel-backed tokenize returning PADDED stream-order tokens.
 
     Returns (a, b, valid, n_tokens, overflow) with token arrays of
@@ -166,12 +204,14 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
         cap = int(os.environ.get("LIBFLATE_PARSE_CAP", str(PARSE_CAP)))
     if window is None:
         window = int(os.environ.get("LIBFLATE_DEVICE_WINDOW", "32768"))
+    if chain is None:
+        chain = int(os.environ.get("LIBFLATE_DEVICE_CHAIN", "1"))
     cand = prefix_candidates_pallas(blocks, window=window)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
         "LIBFLATE_XLA_LCP") != "1"
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
-                                   use_kernel, window)
+                                   use_kernel, window, chain)
     return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
 
 
@@ -191,6 +231,8 @@ def _device_knobs(options) -> dict:
         knobs["window"] = int(options.window_size)
     if getattr(options, "lazy", True) is False:
         knobs["lazy"] = False
+    if getattr(options, "matcher", "greedy") == "chain":
+        knobs["chain"] = max(1, int(getattr(options, "max_chain", 1)))
     return knobs
 
 
@@ -552,7 +594,8 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                        bfinal: jnp.ndarray, k: int,
                        cap: int | None = None,
                        lazy: bool | None = None,
-                       window: int | None = None):
+                       window: int | None = None,
+                       chain: int | None = None):
     """Shared-table batch encode that also returns the sync index.
 
     Returns (words (B, W), bits (B,), n_tokens (B,), offsets (B, S),
@@ -565,7 +608,8 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     if _use_padded_parse(blocks):
         a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid,
                                                  lazy=lazy, cap=cap,
-                                                 window=window)
+                                                 window=window,
+                                                 chain=chain)
         values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                               valid=valid)
         words, bits = _pack_batch(values, widths)
@@ -613,7 +657,8 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                             bfinal: jnp.ndarray, k: int,
                             cap: int | None = None,
                             lazy: bool | None = None,
-                            window: int | None = None):
+                            window: int | None = None,
+                            chain: int | None = None):
     """Shared-table sync encode via the Pallas pack kernel.
 
     Like _encode_batch_sync_packed but the bit pack runs in
@@ -627,7 +672,8 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     """
     from .checksum import crc32_f_rows
     a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid, lazy=lazy,
-                                             cap=cap, window=window)
+                                             cap=cap, window=window,
+                                             chain=chain)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                           valid=valid)
     cols, starts, bits = _pack_chunks_device(values, widths)
@@ -653,7 +699,8 @@ def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                               bfinal: jnp.ndarray, k: int,
                               cap: int | None = None,
                               lazy: bool | None = None,
-                              window: int | None = None):
+                              window: int | None = None,
+                              chain: int | None = None):
     """_encode_batch_sync + fused member CRCs, small outputs packed.
 
     Returns (words (B, W) uint32, small (B, 4+S) int32) with small rows
@@ -665,7 +712,8 @@ def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     """
     from .checksum import crc32_f_rows
     words, bits, cnt, offsets, ovf = _encode_batch_sync(
-        blocks, n_valid, bfinal, k, cap, lazy=lazy, window=window)
+        blocks, n_valid, bfinal, k, cap, lazy=lazy, window=window,
+        chain=chain)
     crc_f = crc32_f_rows(blocks)
     return words, _pack_small(bits, cnt, crc_f, ovf, offsets)
 
