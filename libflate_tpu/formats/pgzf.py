@@ -742,9 +742,13 @@ def decompress_to_device(data: bytes, verify: bool = False):
     holding member i's plaintext in ``out[i, :lengths[i]]`` — ready to
     feed a data pipeline without any D2H transfer.
 
-    Raises ImportError when the stream lacks the LS index or no
-    accelerator backend is available (callers fall back to the host
-    paths; ``verify=True`` additionally CRC-checks on device).
+    Streams without the LS index but with shared-table members (e.g.
+    produced by another tool from this framework's members, or an older
+    encode) fall back to the speculative kernel pipeline
+    (_spec_token_groups) and still land device-resident.  Raises
+    ImportError when neither path fits or no accelerator backend is
+    available (callers fall back to the host paths; ``verify=True``
+    additionally CRC-checks on device).
     """
     import os
 
@@ -759,7 +763,14 @@ def decompress_to_device(data: bytes, verify: bool = False):
     if (jax.default_backend() == "cpu"
             and not os.environ.get("LIBFLATE_PALLAS_INTERPRET")):
         raise ImportError("device decode needs a TPU backend")
-    groups = _prepare_sync_device(bytes(data))
+    data = bytes(data)
+    try:
+        groups = _prepare_sync_device(data)
+    except ImportError:
+        refs = index_members(data)
+        if refs is None:
+            raise
+        return _spec_to_device(data, refs, verify)
     plains, lens = [], []
     for prep in groups:
         plain, n_out, err, crc_f = _run_sync_chain(prep)
@@ -781,6 +792,44 @@ def decompress_to_device(data: bytes, verify: bool = False):
     cap = max(p.shape[1] for p in plains)
     plains = [jnp.pad(p, ((0, 0), (0, cap - p.shape[1])))
               for p in plains]
+    return (jnp.concatenate(plains, axis=0),
+            jnp.asarray(np.concatenate(lens), jnp.int32))
+
+
+def _spec_to_device(data: bytes, refs: list[MemberRef], verify: bool):
+    """decompress_to_device tail for un-indexed shared-table streams:
+    speculative kernels to tokens (_spec_token_groups), then the same
+    device-resident expansion + CRC chain as the sync path."""
+    import jax.numpy as jnp
+
+    from ..ops.checksum import crc32_f_rows, crc32_from_padded_f
+    from ..ops.device_expand import expand_members
+    from ..serial.deflate import DeflateError
+    from .gzip import GzipError
+
+    bsz = len(refs)
+    isizes = np.zeros((bsz,), np.int64)
+    crcs_expected = np.zeros((bsz,), np.uint32)
+    for i, ref in enumerate(refs):
+        crcs_expected[i], isizes[i] = struct.unpack_from(
+            "<II", data, ref.end - 8)
+
+    plains, lens = [], []
+    for packed, nt, group, cap in _spec_token_groups(data, refs):
+        plain, n_out, err = expand_members(packed, nt, cap)
+        plain = plain[:len(group)]
+        if bool(np.asarray(err)[:len(group)].any()):
+            raise DeflateError("bad back-reference in device expansion")
+        if verify:
+            crcs = crc32_from_padded_f(
+                np.asarray(crc32_f_rows(plain)), isizes[group], cap)
+            for k, i in enumerate(group):
+                if int(crcs[k]) != int(crcs_expected[i]):
+                    raise GzipError(f"gzip CRC mismatch in member {i}")
+        plains.append(plain)
+        lens.append(isizes[group])
+    if len(plains) == 1:
+        return plains[0], jnp.asarray(lens[0], jnp.int32)
     return (jnp.concatenate(plains, axis=0),
             jnp.asarray(np.concatenate(lens), jnp.int32))
 
@@ -946,14 +995,15 @@ def _sync_to_plain_jit():
     return _sync_to_plain_jit._fn
 
 
-def _decompress_shared_device(data: bytes, refs: list[MemberRef],
-                              verify: bool) -> bytes:
-    """Shared-table speculative decode (Pallas kernel, groups of 128).
+def _spec_token_groups(data: bytes, refs: list[MemberRef]):
+    """Speculative shared-table decode to DEVICE TOKENS, per group of
+    128 members: position kernel → chunk-exit maps → entry threading →
+    walk-emit (all Pallas; compaction is a reshape + mask).
 
-    Requires every member in each group of 128 to carry an identical
-    single-final-dynamic-block header with code lengths ≤ 12 (the
-    shared-table encode mode guarantees this); raises ImportError to
-    fall back otherwise.
+    Yields (packed (128, T) int32 device tokens, nt (128,) device
+    counts, group member indices, out_cap).  Raises ImportError when
+    the stream shape does not fit the kernels (callers fall back) and
+    DeflateError when a member's bit stream is invalid.
     """
     import jax
     import jax.numpy as jnp
@@ -962,7 +1012,6 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
     from ..ops.huffman import decode_table
     from ..ops.pallas_decode import LANES, speculative_decode_positions
     from ..serial.deflate import DeflateError
-    from .gzip import GzipError
 
     if jax.default_backend() == "cpu":
         raise ImportError("speculative kernel needs a TPU backend")
@@ -971,10 +1020,8 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
 
     bsz = len(refs)
     isizes = np.zeros((bsz,), np.int64)
-    crcs_expected = np.zeros((bsz,), np.uint32)
     for i, ref in enumerate(refs):
-        crcs_expected[i], isizes[i] = struct.unpack_from(
-            "<II", data, ref.end - 8)
+        _, isizes[i] = struct.unpack_from("<II", data, ref.end - 8)
     out_cap = int(isizes.max(initial=1)) or 1
     out_cap = 1 << max(8, (out_cap - 1).bit_length())
 
@@ -994,9 +1041,7 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
     # kernel's grid unit, itself a multiple of the 512 chain chunk)
     w = max_body // 4 + 8
     w = ((w - 4 + 63) // 64) * 64 + 4
-    p_total = 32 * w - 128
 
-    pieces: list[bytes] = []
     for g0 in range(0, bsz, LANES):
         group = list(range(g0, min(g0 + LANES, bsz)))
         # group members must share tables
@@ -1014,9 +1059,6 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
         tok, nxt = speculative_decode_positions(
             jnp.asarray(words), lit_t.astype(jnp.int32),
             dist_t.astype(jnp.int32))
-        # phase B, all Pallas: chunk-exit maps (backward DP) → entry
-        # threading (tiny XLA scan) → walk-emit kernel (tokens land on
-        # sequential rows, so compaction is a reshape + mask)
         from ..ops.deflate_decode import (chain_entries,
                                           tokens_from_emit_packed)
         from ..ops.pallas_decode import chunk_exit_maps, walk_emit
@@ -1035,6 +1077,30 @@ def _decompress_shared_device(data: bytes, refs: list[MemberRef],
             if err_np[k]:
                 raise DeflateError(
                     f"speculative decode failed in member {i}")
+        yield packed, nt, group, out_cap
+
+
+def _decompress_shared_device(data: bytes, refs: list[MemberRef],
+                              verify: bool) -> bytes:
+    """Shared-table speculative decode (Pallas kernel, groups of 128).
+
+    Requires every member in each group of 128 to carry an identical
+    single-final-dynamic-block header with code lengths ≤ 12 (the
+    shared-table encode mode guarantees this); raises ImportError to
+    fall back otherwise.
+    """
+    from .. import native
+    from .gzip import GzipError
+
+    bsz = len(refs)
+    isizes = np.zeros((bsz,), np.int64)
+    crcs_expected = np.zeros((bsz,), np.uint32)
+    for i, ref in enumerate(refs):
+        crcs_expected[i], isizes[i] = struct.unpack_from(
+            "<II", data, ref.end - 8)
+
+    pieces: list[bytes] = []
+    for packed, nt, group, _cap in _spec_token_groups(data, refs):
         # final stage on the host: the overlapping-copy expansion is
         # memcpy-speed in the threaded native engine, and the output
         # must reach the host anyway.  D2H rides a slow tunnel here, so
