@@ -89,7 +89,13 @@ def _pack_kernel(f_ch, d_out, fv_ref, fw_ref, k0_ref, out_ref):
                 hit, lo2.astype(jnp.int32), cur)
             return 0
 
-        jax.lax.fori_loop(0, d_out, wbody, 0)
+        # cursors are monotone and clustered, so the flushing lanes'
+        # word rows form a narrow band — sweep just [qmin, qmax]
+        # instead of all d_out rows (the masked reduces cost ~2 row
+        # RMWs; the band is typically a few rows of ~150)
+        qmin = jnp.min(jnp.where(flush, wc, d_out))
+        qmax = jnp.max(jnp.where(flush, wc, -1))
+        jax.lax.fori_loop(qmin, qmax + 1, wbody, 0)
         lo = jnp.where(flush, spill, lo2)
         k = jnp.where(flush, k2 - 32, k2).astype(jnp.uint32)
         wc = wc + flush.astype(jnp.int32)
@@ -105,7 +111,9 @@ def _pack_kernel(f_ch, d_out, fv_ref, fw_ref, k0_ref, out_ref):
             hit, lo.astype(jnp.int32), cur)
         return 0
 
-    jax.lax.fori_loop(0, d_out, fbody, 0)
+    fmin = jnp.min(jnp.where(k > 0, wc, d_out))
+    fmax = jnp.max(jnp.where(k > 0, wc, -1))
+    jax.lax.fori_loop(fmin, fmax + 1, fbody, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("f_ch",))
