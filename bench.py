@@ -103,6 +103,20 @@ def main() -> None:
         ref_sz = len(native.deflate_greedy(data, block_size=member_size,
                                            lazy=False, max_chain=1))
         extra["ratio_reference_greedy"] = round(ref_sz / nbytes, 4)
+        # fast mode: chainless lazy matcher — ~2.2x the default encode
+        # rate while still compressing better than the reference's own
+        # matcher class on this corpus (the default chain-128 ratio
+        # beats even the reference's PUBLISHED 0.300)
+        fast_off = np.arange(0, nbytes + member_size - 1, member_size,
+                             dtype=np.uint64)
+        fast_off[-1] = nbytes
+        t0 = time.perf_counter()
+        bodies, _ = native.deflate_batch(data, fast_off, n_threads=0,
+                                         lazy=True, max_chain=1)
+        dt = time.perf_counter() - t0
+        extra["native_encode_fast_gbps"] = round(gb / dt, 4)
+        extra["native_ratio_fast"] = round(
+            sum(len(x) for x in bodies) / nbytes, 4)
         # decode is ~15 ms/run; machine-load noise on the shared host is
         # +/-40%, so take the best of many cheap repeats for a stable
         # headline (encode is ~10x longer per rep — fewer repeats)
