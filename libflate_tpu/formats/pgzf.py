@@ -1023,7 +1023,9 @@ def _spec_token_groups(data: bytes, refs: list[MemberRef]):
     for i, ref in enumerate(refs):
         _, isizes[i] = struct.unpack_from("<II", data, ref.end - 8)
     out_cap = int(isizes.max(initial=1)) or 1
-    out_cap = 1 << max(8, (out_cap - 1).bit_length())
+    # min 1024: expand_members' gather_two path needs out_cap % 1024 == 0
+    # (matches _prepare_sync_device's member_cap rounding)
+    out_cap = 1 << max(10, (out_cap - 1).bit_length())
 
     bodies_all = b"".join(data[r.body:r.end - 8] for r in refs)
     offs = np.zeros(bsz + 1, np.uint64)

@@ -1,4 +1,4 @@
-"""Device-resident LZ77 expansion v2 — the decode chain's second half.
+"""Device-resident LZ77 expansion — the decode chain's second half.
 
 Replaces ops.deflate_decode.expand_tokens_device (generic XLA pointer
 doubling, ~1.16 s per 8 MiB: every gather rides XLA's ~85 M elem/s
@@ -6,19 +6,21 @@ ceiling and RLE runs make chains thousands deep) with a TPU-first
 decomposition (reference hot loop being replaced:
 src/deflate/decode.rs:112-130 + libflate_lz77/src/lib.rs:164-194):
 
-1. **Span maps** — output position -> covering token via one scatter of
-   token-start marks + cumsum; token fields (start/dist/literal) arrive
-   per byte through the Pallas gather kernel (ops/pallas_gather).
+1. **Token-id rank** — output position -> covering token id, scatter-
+   free (coarse per-128-bucket counts + fine in-bucket rank; see
+   _token_id_scatter_free); token fields (start + packed a/d) arrive
+   per byte through ONE fused two-table windowed gather
+   (ops/pallas_gather.gather_two).
 2. **Mod-collapse** — a byte inside an overlapped (RLE) copy jumps
    straight to the PRE-TOKEN source: src(p) = (p - s) % d + s - d.
    Every chain step then crosses a token boundary, so chain depth drops
    from output-run length (thousands) to the token DAG depth (~10-200
    on text; measured mean 9-36).
-3. **Pointer doubling** on the collapsed map — each round is one
-   batched Pallas gather (~1 G elem/s, 12x XLA); adaptive while_loop
-   stops at the true max depth's log.
-4. **Materialize + CRC** — one more gather pulls literal bytes to every
-   position; CRC32 via the GF(2) matmul kernel, all device-resident.
+3. **Fused chase + materialize** — ONE Pallas kernel pass
+   (ops/pallas_expand.resolve_bytes) walks 4 KiB superblocks in order:
+   in-register doubling resolves intra-block chains, sibling selects
+   cover the same superblock, and a dynamically-banded prefix sweep
+   fetches bytes already materialized in the (sublane-packed) output.
 
 Members are independent (PGZF container) — no cross-member history.
 """
@@ -115,9 +117,9 @@ def _token_id_scatter_free(starts: jnp.ndarray, valid: jnp.ndarray,
     return jnp.clip(token_id, 0, t - 1), c_excl
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "max_rounds"))
+@functools.partial(jax.jit, static_argnames=("out_cap",))
 def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
-                   out_cap: int, max_rounds: int = 18):
+                   out_cap: int):
     """Expand packed LZ77 tokens into plaintext, fully on device.
 
     Args:
@@ -126,15 +128,12 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
             kernel / native packing.
         n_tokens: (B,) int32 valid token counts.
         out_cap: static output capacity per member (multiple of 1024).
-        max_rounds: unused (kept for API compatibility — the fused
-            resolve kernel is single-pass).
 
     Returns:
         (out (B, out_cap) uint8, n_out (B,) int32, err (B,) bool).
         err: bad distance (reaches before the member) or output
         overflow.
     """
-    del max_rounds
     from .pallas_expand import resolve_bytes
 
     bsz, t = packed.shape

@@ -40,7 +40,6 @@ SUB = 8
 BLK = SUB * LANES            # positions per sub-block (one vreg)
 BLK_BITS = 10
 SUPER = 4 * BLK              # positions per superblock (one packed vreg)
-DBL_ROUNDS = 10              # 2^10 >= max intra-block chain depth (1023)
 
 
 def _interp() -> bool:
@@ -60,8 +59,11 @@ def _vgather(val: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int):
-    skip = os.environ.get("LIBFLATE_EXPAND_SKIP", "").split(",")
+def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int,
+                    skip: tuple = ()):
+    # ``skip`` is an ablation knob for profiling scripts ONLY — it is a
+    # static jit argument (so it participates in the cache key), never
+    # read from the environment inside production traces.
     def superblock(sb, _):
         vs = []                                  # resolved byte vregs
         for j in range(4):
@@ -144,8 +146,9 @@ def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int):
     jax.lax.fori_loop(0, n_super, superblock, 0)
 
 
-@jax.jit
-def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("skip",))
+def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
+                   skip: tuple = ()) -> jnp.ndarray:
     """Chase mod-collapsed pointers to their literal roots and emit the
     root bytes, per member, in one kernel pass.
 
@@ -170,7 +173,8 @@ def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray) -> jnp.ndarray:
                         memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, n // 512, LANES), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    kern = functools.partial(_resolve_kernel, n_super=n // SUPER)
+    kern = functools.partial(_resolve_kernel, n_super=n // SUPER,
+                             skip=tuple(skip))
 
     def kfn(s_r, l_r, o_r):
         kern(s_r.at[0], l_r.at[0], o_r.at[0])

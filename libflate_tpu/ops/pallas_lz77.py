@@ -160,6 +160,9 @@ def prefix_candidates_pallas(blocks: jnp.ndarray,
     """
     b, n = blocks.shape
     assert b == LANES, "kernel batch is 128 members (pad the batch)"
+    # slots pack position into 17 bits (pos | fp << 17): larger members
+    # would silently alias candidate positions (ratio loss, no error)
+    assert n <= 1 << 17, "member size exceeds the 128 KiB slot packing"
     n_pad = -(-n // CHUNK_POS) * CHUNK_POS
     h = _keys_hashes(blocks)
     if n_pad != n:
