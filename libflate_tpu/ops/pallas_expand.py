@@ -6,20 +6,27 @@ rounds, ~69 ms per 8 MiB) with ONE kernel pass: after mod-collapse
 every pointer strictly decreases, so walking each member's 4 KiB
 superblocks (4 sub-blocks of one vreg each) in ascending order gives
 
-1. **in-register doubling** — a sub-block's intra-block chains resolve
+1. **far fetch first** — positions whose source lies in an EARLIER
+   superblock read their byte straight out of the (already resolved,
+   sublane-packed) output ref, then become literal roots.  The fetch
+   serves each sub-block from a per-sub-block list of the packed output
+   rows its far sources actually hit, precomputed XLA-side and handed
+   in through SMEM (4 row ids per int32).  Corpus measurement
+   (scripts/analyze_dists.py): ~18 rows hit vs ~41 in the [min,max]
+   band the round-3 kernel swept — the list does ~2.3x less take work
+   and removes the two in-kernel vector->scalar min/max reduces.  The
+   32 KiB DEFLATE window bounds the list at 66 rows, so a static
+   17-word slot per sub-block always suffices — no overflow path.
+2. **in-register doubling** — a sub-block's intra-block chains resolve
    in <= 10 composition rounds on its own (8, 128) vreg (single-vreg
-   lane/sublane shuffles, no VMEM traffic), after which every entry is
-   a literal root inside the sub-block or a pointer to an earlier one;
-2. **sibling selects** — pointers into earlier sub-blocks of the SAME
+   lane/sublane shuffles, no VMEM traffic), terminating at literal or
+   far-resolved roots;
+3. **sibling selects** — pointers into earlier sub-blocks of the SAME
    superblock read the byte vregs still held in registers;
-3. **one packed prefix sweep** — earlier superblocks are already
-   byte-resolved in the output ref, stored 4 bytes per int32 word
-   (sublane-packed: word (r, l) holds positions 512*(r>>1) + 128*(4*
-   (r&1)+k) + l, so packing a resolved vreg is three shifts+ors on
-   sublane slices and the lookup is row = s>>9, lane = s&127, byte =
-   (s>>7)&3).  The sweep's dynamically-bounded row-group scan touches
-   4x fewer rows than an unpacked byte table — the dominant cost for
-   window-spread LZ77 pointers.
+4. **sublane pack** — resolved bytes store 4-per-int32 (word (r, l)
+   holds positions 512*(r>>1) + 128*(4*(r&1)+k) + l), so the far fetch
+   reads 4x fewer rows and packing is three shifts+ors on sublane
+   slices.
 
 Parity note: device half of the reference decode hot loop
 (libflate_lz77/src/lib.rs:164-194 rle_decode — the sequential
@@ -40,6 +47,11 @@ SUB = 8
 BLK = SUB * LANES            # positions per sub-block (one vreg)
 BLK_BITS = 10
 SUPER = 4 * BLK              # positions per superblock (one packed vreg)
+#: max distinct 512-B packed output rows a sub-block's far sources can
+#: hit: 32 KiB window / 512 + boundary slack (list entries are bytes,
+#: packed 4 per int32)
+ROWLIST_CAP = 68
+ROWLIST_WORDS = ROWLIST_CAP // 4
 
 
 def _interp() -> bool:
@@ -59,17 +71,117 @@ def _vgather(val: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int,
-                    skip: tuple = ()):
+def _resolve_kernel(cnt_ref, lst_ref, src_ref, lit_ref, out_ref, *,
+                    n_super: int, skip: tuple = (),
+                    far_mode: str = "uband"):
     # ``skip`` is an ablation knob for profiling scripts ONLY — it is a
     # static jit argument (so it participates in the cache key), never
     # read from the environment inside production traces.
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+
     def superblock(sb, _):
         vs = []                                  # resolved byte vregs
+
+        # --- union far fetch (default): ONE sweep over the union of
+        # the 4 sub-blocks' [min,max] bands serves all of them — 4x
+        # fewer loads, loop iterations, and scalar reduces than
+        # per-sub-block sweeps (sub-bands within a superblock mostly
+        # overlap; scripts/prof_decode2.py A/B).
+        far_w = [None] * 4
+        if far_mode == "uband" and "far" not in skip:
+            ss = []
+            for j in range(4):
+                ss.append(src_ref[pl.ds((sb * 4 + j) * SUB, SUB), :])
+            fars = [(s >> 12) < sb for s in ss]
+            mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
+            mx = jnp.full((SUB, LANES), -1, jnp.int32)
+            for s, f in zip(ss, fars):
+                mn = jnp.minimum(mn, jnp.where(f, s, 2 ** 30))
+                mx = jnp.maximum(mx, jnp.where(f, s, -1))
+            g0 = jnp.min(mn) >> 12
+            g1 = jnp.max(mx) >> 12
+            rows4 = [s >> 9 for s in ss]
+            lanes4 = [s & (LANES - 1) for s in ss]
+
+            def sweepu(kk, accs):
+                rows = out_ref[pl.ds(kk * SUB, SUB), :]
+                accs = list(accs)
+                for u in range(SUB):
+                    rb = jnp.broadcast_to(rows[u:u + 1, :],
+                                          (SUB, LANES))
+                    for j in range(4):
+                        accs[j] = jnp.where(
+                            rows4[j] == kk * SUB + u,
+                            jnp.take_along_axis(rb, lanes4[j], axis=1),
+                            accs[j])
+                return tuple(accs)
+
+            zero = jnp.zeros((SUB, LANES), jnp.int32)
+            far_w = list(jax.lax.fori_loop(g0, g1 + 1, sweepu,
+                                           (zero, zero, zero, zero)))
+
         for j in range(4):
             blk = sb * 4 + j
             base = blk * BLK
             s = src_ref[pl.ds(blk * SUB, SUB), :]
+            lit2 = lit_ref[pl.ds(blk * SUB, SUB), :]
+
+            # --- far fetch: sources in earlier superblocks read the
+            # packed output rows listed for this sub-block (SMEM list of
+            # actually-hit rows; see module docstring), then become
+            # literal roots so the doubling below terminates on them.
+            if far_mode == "uband" and "far" not in skip:
+                far = (s >> 12) < sb
+                w = far_w[j]
+                fv = (w >> (((s >> 7) & 3) * 8)) & 255
+                self_idx = base + iota_s * LANES + iota_l
+                lit2 = jnp.where(far, fv, lit2)
+                s = jnp.where(far, self_idx, s)
+            elif "far" not in skip:
+                far = (s >> 12) < sb
+                row = s >> 9
+                lane = s & (LANES - 1)
+
+                if far_mode == "band":
+                    # [min,max] 8-row-group band sweep (round-3 shape,
+                    # kept for A/B) — bounds via in-kernel reduces
+                    g0 = jnp.min(jnp.where(far, s, jnp.int32(2 ** 30))
+                                 ) >> 12
+                    g1 = jnp.max(jnp.where(far, s, jnp.int32(-1))) >> 12
+
+                    def sweepg(kk, acc):
+                        rows = out_ref[pl.ds(kk * SUB, SUB), :]
+                        for u in range(SUB):
+                            rb = jnp.broadcast_to(rows[u:u + 1, :],
+                                                  (SUB, LANES))
+                            acc = jnp.where(
+                                row == kk * SUB + u,
+                                jnp.take_along_axis(rb, lane, axis=1),
+                                acc)
+                        return acc
+
+                    w = jax.lax.fori_loop(
+                        g0, g1 + 1, sweepg,
+                        jnp.zeros((SUB, LANES), jnp.int32))
+                else:
+
+                    def serve(i, acc):
+                        wd = lst_ref[0, blk, i >> 2]
+                        rr = (wd >> ((i & 3) * 8)) & 255
+                        rowv = out_ref[pl.ds(rr, 1), :]
+                        rb = jnp.broadcast_to(rowv, (SUB, LANES))
+                        return jnp.where(
+                            row == rr,
+                            jnp.take_along_axis(rb, lane, axis=1), acc)
+
+                    w = jax.lax.fori_loop(
+                        0, cnt_ref[0, blk, 0], serve,
+                        jnp.zeros((SUB, LANES), jnp.int32))
+                fv = (w >> (((s >> 7) & 3) * 8)) & 255
+                self_idx = base + iota_s * LANES + iota_l
+                lit2 = jnp.where(far, fv, lit2)
+                s = jnp.where(far, self_idx, s)
 
             # Intra-block doubling, two tiers (roots are fixpoints;
             # convergence checks measure 25x the shuffles they save, so
@@ -79,9 +191,7 @@ def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int,
             #    per-element lane shuffle (take_along_axis on the vreg
             #    itself).  7 rounds cover the worst 127-hop in-row
             #    chain; corrupt forward pointers just stop resolving.
-            abs_row = (blk * SUB
-                       + jax.lax.broadcasted_iota(jnp.int32,
-                                                  (SUB, LANES), 0))
+            abs_row = blk * SUB + iota_s
             if "row" not in skip:
                 for _ in range(7):
                     own_row = (s >> 7) == abs_row
@@ -98,39 +208,14 @@ def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int,
                     s = jnp.where(own, _vgather(s, s - base), s)
 
             own = (s >> BLK_BITS) == blk
-            v = jnp.where(
-                own,
-                _vgather(lit_ref[pl.ds(blk * SUB, SUB), :], s - base),
-                0)
+            v = jnp.where(own, _vgather(lit2, s - base), 0)
             if "sib" not in skip:
                 for t in range(j):               # sibling sub-blocks
                     sel = (s >> BLK_BITS) == (sb * 4 + t)
                     v = jnp.where(
                         sel, _vgather(vs[t], s - (sb * 4 + t) * BLK),
                         v)
-
-            # packed prefix sweep over earlier superblocks
-            far = (s >> 12) < sb
-            g0 = jnp.min(jnp.where(far, s, jnp.int32(2 ** 30))) >> 12
-            g1 = jnp.max(jnp.where(far, s, jnp.int32(-1))) >> 12
-            row = s >> 9
-            lane = s & (LANES - 1)
-
-            def sweep(kk, acc):
-                rows = out_ref[pl.ds(kk * SUB, SUB), :]
-                for u in range(SUB):
-                    rb = jnp.broadcast_to(rows[u:u + 1, :],
-                                          (SUB, LANES))
-                    acc = jnp.where(
-                        row == kk * SUB + u,
-                        jnp.take_along_axis(rb, lane, axis=1), acc)
-                return acc
-
-            w = jnp.zeros((SUB, LANES), jnp.int32)
-            if "sweep" not in skip:
-                w = jax.lax.fori_loop(g0, g1 + 1, sweep, w)
-            fv = (w >> (((s >> 7) & 3) * 8)) & 255
-            vs.append(jnp.where(far, fv, v))
+            vs.append(v)
 
         rows_out = []
         for j in range(4):                       # sublane-pack 4 -> 1
@@ -146,9 +231,51 @@ def _resolve_kernel(src_ref, lit_ref, out_ref, *, n_super: int,
     jax.lax.fori_loop(0, n_super, superblock, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("skip",))
+def far_rowlists(src: jnp.ndarray):
+    """Per-sub-block lists of the packed output rows far sources hit.
+
+    src: (B, N) int32 mod-collapsed source positions.  Returns
+    (cnt (B, n_sub) int32, lst (B, n_sub, ROWLIST_WORDS) int32) with
+    row ids packed 4-per-word, ascending.  Pure XLA (fused elementwise
+    + tiny-array postprocess); traced inside resolve_packed.
+    """
+    bsz, n = src.shape
+    n_sub = n // BLK
+    r_out = n // 512
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    far = (src >> 12) < (pos >> 12)
+    row = jnp.where(far, src >> 9, -1).reshape(bsz, n_sub, BLK)
+
+    # presence bitmap as 32-bit words: bit (r & 31) of word (r >> 5)
+    n_words = -(-r_out // 32)
+    words = []
+    for g in range(n_words):
+        hit = jnp.where((row >= 0) & ((row >> 5) == g),
+                        jnp.left_shift(jnp.int32(1), row & 31), 0)
+        words.append(jax.lax.reduce(hit, jnp.int32(0),
+                                    jax.lax.bitwise_or, [2]))
+    wm = jnp.stack(words, axis=2)                # (B, n_sub, n_words)
+    bits = (wm[:, :, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+    bits = bits.reshape(bsz, n_sub, n_words * 32)[:, :, :r_out]
+    cnt = jnp.sum(bits, axis=2, dtype=jnp.int32)
+    c = jnp.cumsum(bits, axis=2)
+    # k-th set bit index = #(c <= k); absent -> r_out (harmless row 0
+    # after & 255 clip... keep it valid: clip to r_out - 1, the loop
+    # never reads past cnt)
+    k = jnp.arange(ROWLIST_CAP, dtype=jnp.int32)
+    kth = jnp.sum((c[:, :, None, :] <= k[None, None, :, None]),
+                  axis=3, dtype=jnp.int32)
+    kth = jnp.clip(kth, 0, max(r_out - 1, 0)).astype(jnp.int32)
+    kw = kth.reshape(bsz, n_sub, ROWLIST_WORDS, 4)
+    lst = (kw[..., 0] | (kw[..., 1] << 8) | (kw[..., 2] << 16)
+           | (kw[..., 3] << 24))
+    return cnt, lst
+
+
+@functools.partial(jax.jit, static_argnames=("skip", "far_mode"))
 def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
-                   skip: tuple = ()) -> jnp.ndarray:
+                   skip: tuple = (), far_mode: str = "uband"
+                   ) -> jnp.ndarray:
     """Chase mod-collapsed pointers to their literal roots and emit the
     root bytes, per member, in one kernel pass.
 
@@ -168,25 +295,41 @@ def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
     bsz, n = src.shape
     assert n % SUPER == 0 and lit.shape == (bsz, n)
     rows = n // LANES
+    n_sub = n // BLK
+
+    if far_mode == "list":
+        cnt, lst = far_rowlists(src.astype(jnp.int32))
+    else:
+        cnt = jnp.zeros((bsz, n_sub), jnp.int32)
+        lst = jnp.zeros((bsz, n_sub, ROWLIST_WORDS), jnp.int32)
 
     spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, n // 512, LANES), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
+    # per-program SMEM blocks: 3-D shapes whose last two dims equal the
+    # array dims keep Mosaic's block rules AND the 1 MiB SMEM budget
+    # (a full-array block is B times larger and does not fit)
+    spec_cnt = pl.BlockSpec((1, n_sub, 1), lambda b: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+    spec_lst = pl.BlockSpec((1, n_sub, ROWLIST_WORDS),
+                            lambda b: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
     kern = functools.partial(_resolve_kernel, n_super=n // SUPER,
-                             skip=tuple(skip))
+                             skip=tuple(skip), far_mode=far_mode)
 
-    def kfn(s_r, l_r, o_r):
-        kern(s_r.at[0], l_r.at[0], o_r.at[0])
+    def kfn(c_r, l_r, s_r, li_r, o_r):
+        kern(c_r, l_r, s_r.at[0], li_r.at[0], o_r.at[0])
 
     return pl.pallas_call(
         kfn, grid=(bsz,),
-        in_specs=[spec, spec],
+        in_specs=[spec_cnt, spec_lst, spec, spec],
         out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((bsz, n // 512, LANES),
                                        jnp.int32),
         interpret=_interp(),
-    )(src.astype(jnp.int32).reshape(bsz, rows, LANES),
+    )(cnt.reshape(bsz, n_sub, 1), lst,
+      src.astype(jnp.int32).reshape(bsz, rows, LANES),
       lit.astype(jnp.int32).reshape(bsz, rows, LANES))
 
 

@@ -1,0 +1,202 @@
+"""Pallas TPU fused rank + token-field gather kernel.
+
+The decode chain maps every output position p to its covering token
+(``token_id(p) = #{token starts <= p} - 1``) and then gathers that
+token's fields.  Round 3 did the rank in XLA (bucket one-hots + in-
+bucket compares, ~7 ms per 8 MiB — the chain's second-largest stage)
+and the gather in ops/pallas_gather.gather_two (~1 ms).  This kernel
+fuses both into one pass over the output positions (~1 ms total):
+
+* XLA precomputes only the cheap coarse half: ``cex[r]`` = number of
+  tokens starting before output position 128*r (fused one-hot counts
+  over the token array + a tiny cumsum).
+* Per 1024-position output vreg the kernel loads a 16-row (2048-token)
+  window of the token-start and packed-token tables — every token id
+  the vreg can touch provably lies inside it (<= 1024 tokens start
+  within 1024 positions).
+* The in-bucket rank is a 128-wide binary search run as 8 per-element
+  lane shuffles on a per-row window of SORTED starts, materialized
+  with a two-step sublane-then-lane shuffle: ``take_along_axis`` along
+  sublanes with a row-constant index vector composes with a lane
+  shuffle into a full (row, lane) gather — the trick that makes all
+  window reads single-vreg work instead of 8-row broadcast sweeps.
+
+Parity: infrastructure for the reference decode hot loop
+(src/deflate/decode.rs:112-130 + libflate_lz77/src/lib.rs:164-194),
+re-expressed as batched rank/gather.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 8
+WIN = 16                      # token-table rows per out-vreg window
+
+
+def _interp() -> bool:
+    return os.environ.get("LIBFLATE_PALLAS_INTERPRET") == "1"
+
+
+def _sel16(w0, w1, rsel):
+    """rows[j, l] = W[rsel_j, l] for a 16-row window held as two
+    stacked (8, 128) vregs; rsel must be row-constant (the sublane
+    take_along composes only then)."""
+    lo = jnp.take_along_axis(w0, jnp.clip(rsel, 0, SUB - 1), axis=0)
+    hi = jnp.take_along_axis(w1, jnp.clip(rsel - SUB, 0, SUB - 1),
+                             axis=0)
+    return jnp.where(rsel < SUB, lo, hi)
+
+
+def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
+                 n_vregs: int):
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    zeros = jnp.zeros((SUB, LANES), jnp.int32)
+
+    def vreg(v, _):
+        lo = lo_ref[0, v, 0]
+        w0 = st_ref[pl.ds(lo, SUB), :]
+        w1 = st_ref[pl.ds(lo + SUB, SUB), :]
+        p0 = pk_ref[pl.ds(lo, SUB), :]
+        p1 = pk_ref[pl.ds(lo + SUB, SUB), :]
+
+        cexv = zeros
+        for j in range(SUB):
+            cexv = jnp.where(iota_s == j, cex_ref[0, v * SUB + j, 0],
+                             cexv)
+        offs = cexv - lo * LANES              # row-constant, >= 1
+
+        # S[j, k] = starts[cex_j + k]: two-step (sublane, lane) gather
+        flat = offs + iota_l                  # [1, 2048)
+        ra = offs >> 7                        # row-constant
+        rowa = _sel16(w0, w1, ra)
+        rowb = _sel16(w0, w1, ra + 1)
+        lane = flat & (LANES - 1)
+        s_win = jnp.where((flat >> 7) == ra,
+                          jnp.take_along_axis(rowa, lane, axis=1),
+                          jnp.take_along_axis(rowb, lane, axis=1))
+
+        # fine = #{k: S[j, k] <= p} — two-level counting search.  A
+        # classic 8-step binary search is a chain of 8 DEPENDENT lane
+        # shuffles and measures latency-bound (~6 ms / 8 MiB, the whole
+        # kernel's cost; scripts/prof_rank.py ablation).  Counting
+        # probes are independent: 8 static-index probes count complete
+        # 16-blocks <= p, then 15 probes inside the found block (their
+        # indices share one data edge but not each other).
+        p = v * 1024 + iota_s * LANES + iota_l
+        fh = zeros
+        for m in range(SUB):
+            sval = jnp.take_along_axis(
+                s_win, jnp.full((SUB, LANES), 16 * m + 15, jnp.int32),
+                axis=1)
+            fh = fh + (sval <= p).astype(jnp.int32)
+        base16 = fh << 4
+        cnt2 = zeros
+        for m in range(15):
+            sval = jnp.take_along_axis(
+                s_win, jnp.minimum(base16 + m, LANES - 1), axis=1)
+            cnt2 = cnt2 + (sval <= p).astype(jnp.int32)
+        fine = jnp.where(fh == SUB, LANES, base16 + cnt2)
+
+        li = offs - 1 + fine                  # window-local token id
+        # per-row the ids span <= 129 -> two window rows; the lower one
+        # is row-constant (ids are monotone along the row: lane 0 min)
+        lmin = jnp.take_along_axis(li, zeros, axis=1)
+        qa = lmin >> 7
+        sh = li & (LANES - 1)
+        in_a = (li >> 7) == qa
+        sa = _sel16(w0, w1, qa)
+        sb = _sel16(w0, w1, qa + 1)
+        pa = _sel16(p0, p1, qa)
+        pb = _sel16(p0, p1, qa + 1)
+        os_ref[pl.ds(v * SUB, SUB), :] = jnp.where(
+            in_a, jnp.take_along_axis(sa, sh, axis=1),
+            jnp.take_along_axis(sb, sh, axis=1))
+        op_ref[pl.ds(v * SUB, SUB), :] = jnp.where(
+            in_a, jnp.take_along_axis(pa, sh, axis=1),
+            jnp.take_along_axis(pb, sh, axis=1))
+        return 0
+
+    jax.lax.fori_loop(0, n_vregs, vreg, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def rank_gather_fields(starts: jnp.ndarray, pk: jnp.ndarray,
+                       valid: jnp.ndarray, out_cap: int):
+    """Fused output-position -> covering-token rank + 2-field gather.
+
+    Args:
+        starts: (B, T) int32 token output start positions, monotone
+            over valid tokens (every token emits >= 1 byte).
+        pk: (B, T) int32 packed token words.
+        valid: (B, T) bool token-slot validity.
+        out_cap: static output capacity (multiple of 1024).
+
+    Returns (tok_start, tok_pk): (B, out_cap) int32 — for each output
+    position, its covering token's start and packed word.
+    """
+    bsz, t = starts.shape
+    assert out_cap % 1024 == 0
+    big = jnp.int32(out_cap + 2)
+    st = jnp.where(valid, starts, big)
+
+    # coarse ranks at every 128-position boundary (fused one-hot sums)
+    nb = out_cap // 128
+    sbk = jnp.where(valid, starts >> 7, nb)
+    cnt = jnp.zeros((bsz, nb), jnp.int32)
+    tile = min(128, nb)
+    for r0 in range(0, nb, tile):
+        r = jnp.arange(r0, r0 + tile, dtype=jnp.int32)
+        oh = (sbk[:, :, None] == r[None, None, :]).astype(jnp.int32)
+        cnt = jax.lax.dynamic_update_slice(cnt, jnp.sum(oh, axis=1),
+                                           (0, r0))
+    cex = jnp.cumsum(cnt, axis=1) - cnt           # starts before bucket
+
+    # token tables padded so every window [lo, lo+16) is in range
+    n_vregs = out_cap // 1024
+    rows_t = -(-t // LANES) + WIN + SUB
+    pad = rows_t * LANES - t
+    st_tab = jnp.pad(st, ((0, 0), (0, pad)), constant_values=out_cap + 2)
+    pk_tab = jnp.pad(pk.astype(jnp.int32), ((0, 0), (0, pad)))
+
+    # 8-aligned window base per out-vreg: covers token ids
+    # [cex[8v] - 1, cex[8v] + 1023 + 127] (<= 1024 starts per vreg)
+    lo = jnp.clip((jnp.maximum(cex[:, ::SUB] - 1, 0) >> 10) << 3,
+                  0, rows_t - WIN).astype(jnp.int32)
+
+    spec_t = pl.BlockSpec((1, rows_t, LANES), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, out_cap // LANES, LANES),
+                          lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    # per-program SMEM blocks: 3-D shapes whose last two dims equal the
+    # array dims keep Mosaic's block rules AND the 1 MiB SMEM budget
+    spec_cex = pl.BlockSpec((1, nb, 1), lambda b: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+    spec_lo = pl.BlockSpec((1, n_vregs, 1), lambda b: (b, 0, 0),
+                           memory_space=pltpu.SMEM)
+
+    kern = functools.partial(_rank_kernel, n_vregs=n_vregs)
+
+    def kfn(cex_r, lo_r, st_r, pk_r, os_r, op_r):
+        kern(cex_r, lo_r, st_r.at[0], pk_r.at[0], os_r.at[0],
+             op_r.at[0])
+
+    shape = jax.ShapeDtypeStruct((bsz, out_cap // LANES, LANES),
+                                 jnp.int32)
+    o_s, o_p = pl.pallas_call(
+        kfn, grid=(bsz,),
+        in_specs=[spec_cex, spec_lo, spec_t, spec_t],
+        out_specs=[spec_o, spec_o],
+        out_shape=[shape, shape],
+        interpret=_interp(),
+    )(cex.reshape(bsz, nb, 1), lo.reshape(bsz, n_vregs, 1),
+      st_tab.reshape(bsz, rows_t, LANES),
+      pk_tab.reshape(bsz, rows_t, LANES))
+    return (o_s.reshape(bsz, out_cap), o_p.reshape(bsz, out_cap))

@@ -1,0 +1,78 @@
+"""Bitonic sort kernel + sort-based candidate finder vs brute force
+(CPU, interpret mode, small shapes — production shapes run minutes in
+the Pallas interpreter)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+
+@pytest.fixture()
+def interpret(monkeypatch):
+    monkeypatch.setenv("LIBFLATE_PALLAS_INTERPRET", "1")
+    yield
+
+
+def test_sort_pairs_matches_numpy(interpret):
+    from libflate_tpu.ops.pallas_sort import sort_pairs
+
+    rng = np.random.default_rng(0)
+    for n in (1024, 4096):
+        k = rng.integers(-2 ** 31, 2 ** 31, (2, n),
+                         dtype=np.int64).astype(np.int32)
+        p = np.arange(n, dtype=np.int32)[None].repeat(2, 0)
+        ks, ps = map(np.asarray, sort_pairs(jnp.asarray(k),
+                                            jnp.asarray(p)))
+        for b in range(2):
+            assert (ks[b] == np.sort(k[b])).all()
+            assert (k[b][ps[b]] == ks[b]).all()
+
+
+def test_sort_pairs_tiebreak_orders_payload(interpret):
+    from libflate_tpu.ops.pallas_sort import sort_pairs
+
+    rng = np.random.default_rng(1)
+    k = rng.integers(0, 7, (1, 2048), dtype=np.int64).astype(np.int32)
+    p = np.arange(2048, dtype=np.int32)[None]
+    ks, ps = map(np.asarray, sort_pairs(jnp.asarray(k), jnp.asarray(p),
+                                        tiebreak=True))
+    order = np.lexsort((p[0], k[0]))
+    assert (ks[0] == k[0][order]).all()
+    assert (ps[0] == p[0][order]).all()
+
+
+def test_sort_candidates_vs_bruteforce(interpret):
+    from libflate_tpu.ops.sort_match import sort_candidates
+
+    rng = np.random.default_rng(3)
+    n, window = 2048, 512
+    words = [bytes(rng.integers(97, 103, rng.integers(3, 8),
+                                dtype=np.uint8)) for _ in range(30)]
+    data = b"".join(words[int(i)] for i in rng.zipf(1.3, 1200) % 30)[:n]
+    arr = np.frombuffer(data, np.uint8)[None, :].copy()
+    cand, lcp4 = map(np.asarray, sort_candidates(
+        jnp.asarray(arr), window=window, scan_k=8))
+
+    def pref(a, b, cap=4):
+        length = 0
+        while (length < cap and b + length < len(data)
+               and data[a + length] == data[b + length]):
+            length += 1
+        return length
+
+    # every reported candidate is in-window with the claimed prefix
+    for p in range(n):
+        c = int(cand[0, p])
+        if c >= 0:
+            assert 0 < p - c <= window
+            assert lcp4[0, p] >= 3
+            assert pref(c, p) >= min(int(lcp4[0, p]), 4)
+
+    # the nearest exact 4-byte repeat is never missed
+    seen = {}
+    for p in range(n - 4):
+        key = data[p:p + 4]
+        if key in seen and p - seen[key] <= window:
+            assert int(cand[0, p]) >= 0 and int(lcp4[0, p]) == 4, p
+        seen[key] = p
