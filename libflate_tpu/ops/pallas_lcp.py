@@ -55,8 +55,8 @@ def _gather_window(w4_ref, tgt, start_group, n_groups: int):
     return acc
 
 
-def _lcp_kernel(max_rounds, groups, win_groups, w4_ref, cand_ref,
-                nv_ref, out_ref):
+def _lcp_kernel(max_rounds, groups, win_groups, first_round, w4_ref,
+                cand_ref, m4_ref, nv_ref, out_ref):
     b = pl.program_id(0)
     n = groups * SUB * LANES
     pos_groups = min(2, groups)
@@ -68,8 +68,16 @@ def _lcp_kernel(max_rounds, groups, win_groups, w4_ref, cand_ref,
         c = cand_ref[pl.ds(t * SUB, SUB), :]
         e = t * (SUB * LANES) + iota_s * LANES + iota_l
         lim = jnp.clip(jnp.minimum(MAX_MATCH, nv - e), 0, None)
-        ln0 = jnp.zeros((SUB, LANES), jnp.int32)
-        act0 = ((c >= 0) & (lim > 0)).astype(jnp.int32)
+        if first_round == 0:
+            ln0 = jnp.zeros((SUB, LANES), jnp.int32)
+            act0 = ((c >= 0) & (lim > 0)).astype(jnp.int32)
+        else:
+            # exact shared-prefix length (<= 4) already known (sort
+            # matcher): start at round 1 — extension only where the
+            # full first word matched and the limit allows more
+            m4 = m4_ref[pl.ds(t * SUB, SUB), :]
+            ln0 = jnp.minimum(jnp.where(c >= 0, m4, 0), lim)
+            act0 = ((c >= 0) & (m4 >= 4) & (lim > 4)).astype(jnp.int32)
         cand_start = jnp.clip(t - (win_groups - 2), 0, groups - win_groups)
         pos_start = jnp.minimum(t, groups - pos_groups)
 
@@ -98,7 +106,7 @@ def _lcp_kernel(max_rounds, groups, win_groups, w4_ref, cand_ref,
 
             return jax.lax.cond(alive, live, dead)
 
-        ln, _act = jax.lax.fori_loop(0, max_rounds, round_body,
+        ln, _act = jax.lax.fori_loop(first_round, max_rounds, round_body,
                                      (ln0, act0))
         out_ref[pl.ds(t * SUB, SUB), :] = jnp.where(c >= 0, ln, 0)
         return 0
@@ -110,7 +118,8 @@ def _lcp_kernel(max_rounds, groups, win_groups, w4_ref, cand_ref,
 def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
                          n_valid: jnp.ndarray,
                          max_rounds: int = 32,
-                         window: int = 32768) -> jnp.ndarray:
+                         window: int = 32768,
+                         m4: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, 65536) uint8 blocks + (B, 65536) int32 candidates →
     (B, n) int32 match lengths (see module docstring for the exact
     clip semantics).  B members run one per grid program; n must be a
@@ -119,7 +128,12 @@ def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
     ``window``: maximum candidate distance the caller guarantees
     (multiple of 1024; candidates farther back MUST already be -1).
     The sweep visits window//1024 + 2 row groups per round, so a
-    shrunk match window cuts the kernel cost near-linearly."""
+    shrunk match window cuts the kernel cost near-linearly.
+
+    ``m4``: optional (B, n) int32 EXACT first-word shared-prefix
+    lengths (<= 4, e.g. from ops/sort_match) — round 0's full-window
+    sweep is skipped and extension runs only where m4 == 4, under the
+    same 4*max_rounds total cap."""
     bsz, n = blocks.shape
     assert n % (SUB * LANES) == 0
     assert window % 1024 == 0 and window > 0
@@ -137,17 +151,23 @@ def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
     spec_nv = pl.BlockSpec((bsz, 1), lambda b: (0, 0),
                            memory_space=pltpu.SMEM)
 
-    def kernel(w4_r, cand_r, nv_r, out_r):
-        _lcp_kernel(max_rounds, groups, win_groups, w4_r.at[0],
-                    cand_r.at[0], nv_r, out_r.at[0])
+    first_round = 0 if m4 is None else 1
+    m4_arr = (cand if m4 is None        # unused dummy, same spec
+              else m4.astype(jnp.int32))
+
+    def kernel(w4_r, cand_r, m4_r, nv_r, out_r):
+        _lcp_kernel(max_rounds, groups, win_groups, first_round,
+                    w4_r.at[0], cand_r.at[0], m4_r.at[0], nv_r,
+                    out_r.at[0])
 
     out = pl.pallas_call(
         kernel,
         grid=(bsz,),
-        in_specs=[spec, spec, spec_nv],
+        in_specs=[spec, spec, spec, spec_nv],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bsz, rows, LANES), jnp.int32),
         interpret=_interp(),
     )(w4.reshape(bsz, rows, LANES), cand.reshape(bsz, rows, LANES),
+      m4_arr.reshape(bsz, rows, LANES),
       n_valid.astype(jnp.int32).reshape(bsz, 1))
     return out.reshape(bsz, n)

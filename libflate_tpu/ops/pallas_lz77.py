@@ -93,15 +93,44 @@ def _hash_kernel(h_ref, out_ref, tbl_ref):
         cand = jnp.concatenate(crows, axis=0)
         out_ref[pl.ds(t * SUB, SUB), :] = cand
 
-        # ---- insert all 8 positions (later j wins a shared bucket)
-        stored = [(base + j) | ((rows[j] >> B_BITS) << 17)
-                  for j in range(SUB)]
+        # ---- insert all 8 positions.  Permuting the step's positions
+        # by their TARGET SUBLANE first (one take_along inverse map)
+        # turns each group write into a single compare+select instead
+        # of an 8-way position loop (the round-3 kernel's dominant
+        # cost, ~20 ms / 8 MiB — linear in GROUPS x positions).  Three
+        # permutation passes cover same-sublane collisions; a position
+        # drops only when >= 4 step positions share a (lane, low-3-
+        # bucket-bit) cell (measured ~1% of candidates on a dense
+        # 6-letter corpus, 0 wrong-key candidates — a dropped insert
+        # only loses a future candidate, never correctness).
+        stored_vec = ((base + iota)
+                      | ((hvec >> B_BITS) << 17))
+        u_tgt = hvec & 7
+        g_tgt = (hvec & (BUCKETS - 1)) >> 3
+        inv1 = jnp.full((SUB, LANES), -1, jnp.int32)
+        inv2 = jnp.full((SUB, LANES), -1, jnp.int32)
+        inv3 = jnp.full((SUB, LANES), -1, jnp.int32)
+        for j in range(SUB):
+            hit_u = u_tgt[j:j + 1, :] == iota
+            inv3 = jnp.where(hit_u & (inv2 >= 0), inv2, inv3)
+            inv2 = jnp.where(hit_u & (inv1 >= 0), inv1, inv2)
+            inv1 = jnp.where(hit_u, j, inv1)
+
+        def perm(inv):
+            iz = jnp.clip(inv, 0, SUB - 1)
+            pv = jnp.take_along_axis(stored_vec, iz, axis=0)
+            pg = jnp.where(inv >= 0,
+                           jnp.take_along_axis(g_tgt, iz, axis=0), -1)
+            return pv, pg
+
+        perm1, pg1 = perm(inv1)
+        perm2, pg2 = perm(inv2)
+        perm3, pg3 = perm(inv3)
         for gg in range(GROUPS):
             grp = tbl_ref[pl.ds(gg * SUB, SUB), :]
-            for j in range(SUB):
-                hb_j = rows[j] & (BUCKETS - 1)
-                hit = (hb_j >> 3 == gg) & (iota == (hb_j & 7))
-                grp = jnp.where(hit, stored[j], grp)
+            grp = jnp.where(pg3 == gg, perm3, grp)     # oldest first
+            grp = jnp.where(pg2 == gg, perm2, grp)
+            grp = jnp.where(pg1 == gg, perm1, grp)     # newest wins
             tbl_ref[pl.ds(gg * SUB, SUB), :] = grp
         return 0
 

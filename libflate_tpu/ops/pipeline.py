@@ -92,7 +92,7 @@ def _compose_cand(cand: jnp.ndarray, prev: jnp.ndarray,
 def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                    cand: jnp.ndarray, lazy: bool = False,
                    use_kernel: bool = False, window: int = 32768,
-                   chain: int = 1):
+                   chain: int = 1, m4: jnp.ndarray | None = None):
     """Candidate masking + LCP (+ TOO_FAR / lazy heuristics).
 
     ``use_kernel`` routes the LCP through the Pallas member-in-VMEM
@@ -112,22 +112,27 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     cand = jnp.where(idx < n_valid[:, None], cand, -1)
 
-    def lcp(c):
+    def lcp(c, m4_=None):
         if use_kernel:
             from .pallas_lcp import match_lengths_pallas
             return match_lengths_pallas(blocks, c, n_valid,
                                         max_rounds=KERNEL_LCP_ROUNDS,
-                                        window=window)
+                                        window=window, m4=m4_)
         return jax.vmap(
             lambda d, cc: match_lengths(d, cc,
                                         max_rounds=KERNEL_LCP_ROUNDS)
         )(blocks, c)
 
+    # exact first-word prefix lengths from the sort matcher let the
+    # kernel skip round 0's full-window sweep (only valid for the
+    # ORIGINAL candidates — chain compositions start from scratch)
+    m4 = m4 if use_kernel else None
+
     if chain > 1:
         # hash-chain candidates via composition; best-of on true LCPs
         # (ties -> the nearer candidate: fewer distance bits).
         # Parity: DefaultLz77EncoderBuilder max_chain / zlib chains.
-        lengths = lcp(cand)
+        lengths = lcp(cand, m4)
         deeper = cand
         for _ in range(chain - 1):
             deeper = _compose_cand(cand, deeper, window)
@@ -151,7 +156,7 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
         [jnp.zeros((blocks.shape[0], 1), jnp.bool_),
          ~neq[:, :-1]], axis=1)
     if chain <= 1:
-        lengths = lcp(cand)
+        lengths = lcp(cand, m4)
     lengths = jnp.where(is_rle, jnp.maximum(lengths, rle_len), lengths)
     lengths = jnp.minimum(lengths, jnp.maximum(n_valid[:, None] - idx, 0))
     lengths = jnp.where(lengths >= C.MIN_MATCH, lengths, 0)
@@ -215,16 +220,17 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     # default to hash — the interpreted bitonic network is minutes-slow
     # at production shapes (sort_match has its own small-shape tests).
     matcher_env = os.environ.get("LIBFLATE_DEVICE_MATCHER")
+    m4 = None
     if matcher_env == "sort" or (matcher_env is None and _use_pallas()):
         from .sort_match import sort_candidates
-        cand, _lcp4 = sort_candidates(blocks, window=window)
+        cand, m4 = sort_candidates(blocks, window=window)
     else:
         cand = prefix_candidates_pallas(blocks, window=window)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
         "LIBFLATE_XLA_LCP") != "1"
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
-                                   use_kernel, window, chain)
+                                   use_kernel, window, chain, m4)
     return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
 
 

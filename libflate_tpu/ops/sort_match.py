@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_sort import sort_pairs
+from .pallas_sort import sort_keys, sort_pairs
 
 #: sorted neighbors examined per position (the effective chain depth)
 SCAN_K = 8
@@ -45,6 +45,7 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
     """
     bsz, n = blocks.shape
     n_pad = 1 << (n - 1).bit_length()
+    assert n_pad <= 1 << 16, "unsort packing holds 16-bit positions"
 
     d = blocks.astype(jnp.uint32)
     pad = jnp.zeros((bsz, 3), jnp.uint32)
@@ -83,8 +84,24 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
         best_cand = jnp.where(upd, pp, best_cand)
         best_l = jnp.where(upd, lcp, best_l)
 
-    payload = (best_cand + 1) | (best_l << 17)
-    _, pay_o = sort_pairs(ps, payload)
-    cand = (pay_o & 0x1FFFF) - 1
-    lcp4 = pay_o >> 17
+    # unsort as a SINGLE-array sort: pack pos(16) | lcp4==4 flag(1) |
+    # dist-1(15) into one int32 (half the bitonic data movement).  The
+    # all-ones dist field with a clear flag is the no-candidate
+    # sentinel — it also swallows the worthless (dist=32768, lcp=3)
+    # corner (zlib's TOO_FAR drops len-3 beyond 4 KiB anyway).
+    valid = best_cand >= 0
+    ext = valid & (best_l >= 4)
+    dist_b = jnp.where(valid, ps - best_cand - 1, 0x7FFF)
+    packed = ((ps.astype(jnp.uint32) << 16)
+              | (ext.astype(jnp.uint32) << 15)
+              | dist_b.astype(jnp.uint32))
+    key2 = (packed ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    ks2 = sort_keys(key2)
+    u = ks2.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+    pos_o = (u >> 16).astype(jnp.int32)
+    dist_o = (u & 0x7FFF).astype(jnp.int32)
+    ext_o = ((u >> 15) & 1).astype(jnp.int32)
+    none = (ext_o == 0) & (dist_o == 0x7FFF)
+    cand = jnp.where(none, -1, pos_o - dist_o - 1)
+    lcp4 = jnp.where(none, 0, 3 + ext_o)
     return cand[:, :n], lcp4[:, :n]

@@ -63,6 +63,23 @@ def main():
         from libflate_tpu.ops.sort_match import sort_candidates
         return sort_candidates(blocks)[0]
 
+    import jax.numpy as _jnp
+    from libflate_tpu.ops.pallas_sort import sort_keys, sort_pairs
+    key0 = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).integers(-2**31, 2**31, (128, 65536),
+                                          dtype=np.int64).astype(np.int32)))
+    pos0 = jax.device_put(jnp.broadcast_to(
+        jnp.arange(65536, dtype=jnp.int32)[None], (128, 65536)))
+
+    def sort1():
+        return sort_pairs(key0, pos0, tiebreak=True)[0]
+
+    def sort1_nt():
+        return sort_pairs(key0, pos0)[0]
+
+    def sort2():
+        return sort_keys(key0)
+
     cand = sort_only()
     sync_read(cand)
     cand = jax.device_put(np.asarray(cand))
@@ -70,6 +87,16 @@ def main():
     def lengths():
         return pp._lengths_stage(blocks, nv, cand, True, True, 32768,
                                  CHAIN)[1]
+
+    from libflate_tpu.ops.sort_match import sort_candidates as _sc
+    _c4, _m4 = _sc(blocks)
+    sync_read(_m4)
+    _c4 = jax.device_put(np.asarray(_c4))
+    _m4 = jax.device_put(np.asarray(_m4))
+
+    def lengths_m4():
+        return pp._lengths_stage(blocks, nv, _c4, True, True, 32768,
+                                 CHAIN, _m4)[1]
 
     @jax.jit
     def parse(cand2, lengths2):
@@ -109,7 +136,11 @@ def main():
         "full_chain": full,
         "hash_cand": hash_only,
         "sort_cand": sort_only,
+        "sort1(pairs+tb)": sort1,
+        "sort1(pairs)": sort1_nt,
+        "sort2(keys)": sort2,
         "lcp_lengths": lengths,
+        "lcp_m4": lengths_m4,
         "parse": lambda: parse(cand2, lengths2),
         "tokenize(h+l+p)": tok,
         "fields": fields,
