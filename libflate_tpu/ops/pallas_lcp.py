@@ -42,7 +42,11 @@ def _interp() -> bool:
 
 def _gather_window(w4_ref, tgt, start_group, n_groups: int):
     """acc[s,l] = w4[tgt[s,l]] for element ids tgt within the swept
-    row window [8·start_group, 8·(start_group+n_groups))."""
+    row window [8·start_group, 8·(start_group+n_groups)).
+
+    (A fused variant serving all extension offsets from one sweep
+    measured 62 vs 42 ms / 8 MiB — the 6 live accumulator sets spill;
+    the per-round loop keeps one.  Round-4 A/B, do not re-fuse.)"""
     g = tgt >> 7                       # element row 0..rows-1
     lane = tgt & (LANES - 1)
     acc = jnp.zeros((SUB, LANES), jnp.int32)

@@ -76,18 +76,17 @@ def _sort_kernel(refs, *, n_vregs: int, n_log: int, tiebreak: bool):
         return ak < bk
 
     def exchange(k, p, qk, qp, want):
-        # int32 select — Mosaic cannot lower a select of i1 vectors
-        takeq = jnp.where(want,
-                          less(qk, qp, k, p).astype(jnp.int32),
-                          less(k, p, qk, qp).astype(jnp.int32)) != 0
+        # ONE less() per exchange: takeq = less(theirs, mine) == want.
+        # On the want==False side this swaps EQUAL elements too —
+        # harmless: with tiebreak the order is total (no equals), and
+        # without it equal keys are interchangeable by contract.
+        takeq = less(qk, qp, k, p) == want
         return (jnp.where(takeq, qk, k),
                 None if p is None else jnp.where(takeq, qp, p))
 
     def pair_minmax(ka, pa, kb, pb, up):
         """a gets the pair min (ascending) / max (descending)."""
-        takeb = jnp.where(up,
-                          less(kb, pb, ka, pa).astype(jnp.int32),
-                          less(ka, pa, kb, pb).astype(jnp.int32)) != 0
+        takeb = less(kb, pb, ka, pa) == up
         if pa is None:
             return (jnp.where(takeb, kb, ka), None,
                     jnp.where(takeb, ka, kb), None)
@@ -110,6 +109,8 @@ def _sort_kernel(refs, *, n_vregs: int, n_log: int, tiebreak: bool):
                     qk = _xor_rows(k, d >> 7)
                     qp = None if p is None else _xor_rows(p, d >> 7)
                 else:
+                    # per-element take_along (A/B: two static pltpu
+                    # rolls + select measured slightly SLOWER)
                     perm = iota_l ^ d
                     qk = jnp.take_along_axis(k, perm, axis=1)
                     qp = (None if p is None
@@ -121,24 +122,30 @@ def _sort_kernel(refs, *, n_vregs: int, n_log: int, tiebreak: bool):
         return k, p
 
     # ---- phase A: stages 1..min(10, n_log), one pass, register-held -
-    # (reads the input refs, writes the in-place-sorted output refs)
+    # (reads the input refs, writes the in-place-sorted output refs).
+    # Each vreg's 55-substage cascade is a serially DEPENDENT chain
+    # (latency-bound, like the rank kernel's binary search), so four
+    # independent vregs interleave per iteration for ILP.
     a_top = min(10, n_log)
+    a_par = 8 if n_vregs % 8 == 0 else (4 if n_vregs % 4 == 0 else 1)
 
-    def phase_a(v, _):
-        k = kin_ref[pl.ds(v * SUB, SUB), :]
-        p = (None if pin_ref is None
-             else pin_ref[pl.ds(v * SUB, SUB), :])
+    def phase_a(i, _):
+        for j in range(a_par):
+            v = i * a_par + j
+            k = kin_ref[pl.ds(v * SUB, SUB), :]
+            p = (None if pin_ref is None
+                 else pin_ref[pl.ds(v * SUB, SUB), :])
 
-        def up_of(size):
-            return (v * VREG) & size == 0
+            def up_of(size, v=v):
+                return (v * VREG) & size == 0
 
-        k, p = invreg_substages(k, p, up_of, a_top, 1)
-        k_ref[pl.ds(v * SUB, SUB), :] = k
-        if p_ref is not None:
-            p_ref[pl.ds(v * SUB, SUB), :] = p
+            k, p = invreg_substages(k, p, up_of, a_top, 1)
+            k_ref[pl.ds(v * SUB, SUB), :] = k
+            if p_ref is not None:
+                p_ref[pl.ds(v * SUB, SUB), :] = p
         return 0
 
-    jax.lax.fori_loop(0, n_vregs, phase_a, 0)
+    jax.lax.fori_loop(0, n_vregs // a_par, phase_a, 0)
 
     # ---- phase B: stages 11..n_log ----------------------------------
     bv = min(BLOCK_V, n_vregs)

@@ -22,6 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import pathlib
+
+# Persistent XLA:CPU compile cache: the long many-compile suite process
+# occasionally segfaults INSIDE backend_compile (XLA:CPU flake, observed
+# twice in full-suite runs at different tests, never in isolation and
+# never on cached compiles).  With the cache populated, reruns read
+# compiled programs from disk — stable and much faster.
+_CPU_CACHE = pathlib.Path(__file__).parent.parent / ".jax_cache_cpu"
+jax.config.update("jax_compilation_cache_dir", str(_CPU_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import random
 import zlib as pyzlib
 
