@@ -105,32 +105,33 @@ def _resolve_kernel(cnt_ref, lst_ref, src_ref, lit_ref, out_ref, *,
             lanes4 = [s & (LANES - 1) for s in ss]
 
             def sweepu(kk, accs):
+                # 8 select-accumulator chains (one per (j, u-parity))
+                # interleave for ILP; the pair merges by OR (every
+                # element matches exactly one swept row)
                 rows = out_ref[pl.ds(kk * SUB, SUB), :]
                 accs = list(accs)
                 for u in range(SUB):
                     rb = jnp.broadcast_to(rows[u:u + 1, :],
                                           (SUB, LANES))
                     for j in range(4):
-                        accs[j] = jnp.where(
+                        q = j * 2 + (u & 1)
+                        accs[q] = jnp.where(
                             rows4[j] == kk * SUB + u,
                             jnp.take_along_axis(rb, lanes4[j], axis=1),
-                            accs[j])
+                            accs[q])
                 return tuple(accs)
 
             zero = jnp.zeros((SUB, LANES), jnp.int32)
-            far_w = list(jax.lax.fori_loop(g0, g1 + 1, sweepu,
-                                           (zero, zero, zero, zero)))
+            acc8 = jax.lax.fori_loop(g0, g1 + 1, sweepu, (zero,) * 8)
+            far_w = [acc8[j * 2] | acc8[j * 2 + 1] for j in range(4)]
 
+        # --- per-sub-block state; far substitution first --------------
+        s4, lit4 = [], []
         for j in range(4):
             blk = sb * 4 + j
             base = blk * BLK
             s = src_ref[pl.ds(blk * SUB, SUB), :]
             lit2 = lit_ref[pl.ds(blk * SUB, SUB), :]
-
-            # --- far fetch: sources in earlier superblocks read the
-            # packed output rows listed for this sub-block (SMEM list of
-            # actually-hit rows; see module docstring), then become
-            # literal roots so the doubling below terminates on them.
             if far_mode == "uband" and "far" not in skip:
                 far = (s >> 12) < sb
                 w = far_w[j]
@@ -138,7 +139,63 @@ def _resolve_kernel(cnt_ref, lst_ref, src_ref, lit_ref, out_ref, *,
                 self_idx = base + iota_s * LANES + iota_l
                 lit2 = jnp.where(far, fv, lit2)
                 s = jnp.where(far, self_idx, s)
-            elif "far" not in skip:
+            s4.append(s)
+            lit4.append(lit2)
+
+        if far_mode == "uband":
+            # --- doubling, all 4 sub-blocks interleaved: each block's
+            # round chain is serially dependent, the 4 chains are not
+            # (ILP; the bitonic phase-A lesson)
+            if "row" not in skip:
+                for _ in range(7):
+                    for j in range(4):
+                        abs_row = (sb * 4 + j) * SUB + iota_s
+                        own_row = (s4[j] >> 7) == abs_row
+                        cnd = jnp.take_along_axis(
+                            s4[j], s4[j] & (LANES - 1), axis=1)
+                        s4[j] = jnp.where(own_row, cnd, s4[j])
+            if "xrow" not in skip:
+                for _ in range(3):
+                    for j in range(4):
+                        blk = sb * 4 + j
+                        own = (s4[j] >> BLK_BITS) == blk
+                        s4[j] = jnp.where(
+                            own, _vgather(s4[j], s4[j] - blk * BLK),
+                            s4[j])
+            for j in range(4):
+                blk = sb * 4 + j
+                s = s4[j]
+                own = (s >> BLK_BITS) == blk
+                v = jnp.where(own, _vgather(lit4[j], s - blk * BLK), 0)
+                if "sib" not in skip:
+                    for t in range(j):           # sibling sub-blocks
+                        sel = (s >> BLK_BITS) == (sb * 4 + t)
+                        v = jnp.where(
+                            sel,
+                            _vgather(vs[t], s - (sb * 4 + t) * BLK), v)
+                vs.append(v)
+            rows_out = []
+            for j in range(4):                   # sublane-pack 4 -> 1
+                b = vs[j]
+                rows_out.append(b[0:1] | (b[1:2] << 8) | (b[2:3] << 16)
+                                | (b[3:4] << 24))
+                rows_out.append(b[4:5] | (b[5:6] << 8) | (b[6:7] << 16)
+                                | (b[7:8] << 24))
+            out_ref[pl.ds(sb * SUB, SUB), :] = jnp.concatenate(
+                rows_out, axis=0)
+            return 0
+
+        for j in range(4):
+            blk = sb * 4 + j
+            base = blk * BLK
+            s = s4[j]
+            lit2 = lit4[j]
+
+            # --- far fetch: sources in earlier superblocks read the
+            # packed output rows listed for this sub-block (SMEM list of
+            # actually-hit rows; see module docstring), then become
+            # literal roots so the doubling below terminates on them.
+            if "far" not in skip:
                 far = (s >> 12) < sb
                 row = s >> 9
                 lane = s & (LANES - 1)

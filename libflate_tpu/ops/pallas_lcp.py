@@ -46,17 +46,27 @@ def _gather_window(w4_ref, tgt, start_group, n_groups: int):
 
     (A fused variant serving all extension offsets from one sweep
     measured 62 vs 42 ms / 8 MiB — the 6 live accumulator sets spill;
-    the per-round loop keeps one.  Round-4 A/B, do not re-fuse.)"""
+    the per-round loop keeps one.  Round-4 A/B, do not re-fuse.)
+
+    A single select-accumulator is a serially DEPENDENT chain of
+    8·n_groups selects (the bitonic sort's latency-bound shape, see
+    ops/pallas_sort phase A): 8 per-sublane accumulators interleave
+    independent chains of n_groups each, OR-merged at the end (each
+    element matches exactly one swept row, all other contributions
+    stay 0)."""
     g = tgt >> 7                       # element row 0..rows-1
     lane = tgt & (LANES - 1)
-    acc = jnp.zeros((SUB, LANES), jnp.int32)
+    accs = [jnp.zeros((SUB, LANES), jnp.int32) for _ in range(SUB)]
     for kk in range(n_groups):
         rows = w4_ref[pl.ds(start_group * SUB + kk * SUB, SUB), :]
         for s in range(SUB):
             rb = jnp.broadcast_to(rows[s:s + 1, :], (SUB, LANES))
             v = jnp.take_along_axis(rb, lane, axis=1)
-            acc = jnp.where(g == start_group * SUB + kk * SUB + s, v, acc)
-    return acc
+            accs[s] = jnp.where(
+                g == start_group * SUB + kk * SUB + s, v, accs[s])
+    while len(accs) > 1:
+        accs = [accs[i] | accs[i + 1] for i in range(0, len(accs), 2)]
+    return accs[0]
 
 
 def _lcp_kernel(max_rounds, groups, win_groups, first_round, w4_ref,
@@ -72,18 +82,24 @@ def _lcp_kernel(max_rounds, groups, win_groups, first_round, w4_ref,
         c = cand_ref[pl.ds(t * SUB, SUB), :]
         e = t * (SUB * LANES) + iota_s * LANES + iota_l
         lim = jnp.clip(jnp.minimum(MAX_MATCH, nv - e), 0, None)
+        cand_start = jnp.clip(t - (win_groups - 2), 0, groups - win_groups)
+        pos_start = jnp.minimum(t, groups - pos_groups)
         if first_round == 0:
             ln0 = jnp.zeros((SUB, LANES), jnp.int32)
             act0 = ((c >= 0) & (lim > 0)).astype(jnp.int32)
         else:
-            # exact shared-prefix length (<= 4) already known (sort
-            # matcher): start at round 1 — extension only where the
-            # full first word matched and the limit allows more
+            # exact shared-prefix length (<= 4*first_round) already
+            # known (sort matcher payload compares): extension only
+            # where the full known prefix matched, the limit allows
+            # more, AND the candidate's words lie inside the swept band
+            # (with a narrow tail window, farther candidates simply
+            # keep their exact m — no garbage reads)
+            exact = 4 * first_round
             m4 = m4_ref[pl.ds(t * SUB, SUB), :]
             ln0 = jnp.minimum(jnp.where(c >= 0, m4, 0), lim)
-            act0 = ((c >= 0) & (m4 >= 4) & (lim > 4)).astype(jnp.int32)
-        cand_start = jnp.clip(t - (win_groups - 2), 0, groups - win_groups)
-        pos_start = jnp.minimum(t, groups - pos_groups)
+            act0 = ((c >= 0) & (m4 >= exact) & (lim > exact)
+                    & (c >= cand_start * (SUB * LANES))
+                    ).astype(jnp.int32)
 
         def round_body(r, state):
             ln, act = state
@@ -118,12 +134,14 @@ def _lcp_kernel(max_rounds, groups, win_groups, first_round, w4_ref,
     jax.lax.fori_loop(0, groups, vreg_step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds", "window"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_rounds", "window", "m_exact"))
 def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
                          n_valid: jnp.ndarray,
                          max_rounds: int = 32,
                          window: int = 32768,
-                         m4: jnp.ndarray | None = None) -> jnp.ndarray:
+                         m4: jnp.ndarray | None = None,
+                         m_exact: int = 4) -> jnp.ndarray:
     """(B, 65536) uint8 blocks + (B, 65536) int32 candidates →
     (B, n) int32 match lengths (see module docstring for the exact
     clip semantics).  B members run one per grid program; n must be a
@@ -134,13 +152,19 @@ def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
     The sweep visits window//1024 + 2 row groups per round, so a
     shrunk match window cuts the kernel cost near-linearly.
 
-    ``m4``: optional (B, n) int32 EXACT first-word shared-prefix
-    lengths (<= 4, e.g. from ops/sort_match) — round 0's full-window
-    sweep is skipped and extension runs only where m4 == 4, under the
-    same 4*max_rounds total cap."""
+    ``m4``: optional (B, n) int32 EXACT shared-prefix lengths
+    (<= ``m_exact``, e.g. from ops/sort_match payload compares) — the
+    first ``m_exact // 4`` rounds' full-window sweeps are skipped and
+    extension runs only where m4 == m_exact, under the same
+    4*max_rounds total cap.  With m_exact == 12 the caller may also
+    NARROW ``window`` below the matcher's true window: candidates
+    outside the narrow band are detected in-kernel and keep their
+    exact length (ratio cost = only the rare long-AND-far tails;
+    bench corpus: 12% of >=13 tail bytes lie past 8 KiB)."""
     bsz, n = blocks.shape
     assert n % (SUB * LANES) == 0
     assert window % 1024 == 0 and window > 0
+    assert m_exact % 4 == 0 and 4 <= m_exact <= 12
     rows = n // LANES
     groups = rows // SUB
     win_groups = min(window // 1024 + 2, groups)
@@ -155,7 +179,7 @@ def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
     spec_nv = pl.BlockSpec((bsz, 1), lambda b: (0, 0),
                            memory_space=pltpu.SMEM)
 
-    first_round = 0 if m4 is None else 1
+    first_round = 0 if m4 is None else m_exact // 4
     m4_arr = (cand if m4 is None        # unused dummy, same spec
               else m4.astype(jnp.int32))
 

@@ -55,12 +55,17 @@ def _sel16(w0, w1, rsel):
 
 
 def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
-                 n_vregs: int):
+                 n_vregs: int, ilp: int = 2):
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
     zeros = jnp.zeros((SUB, LANES), jnp.int32)
+    ilp = ilp if n_vregs % ilp == 0 else 1
 
-    def vreg(v, _):
+    def one(v):
+        """Emit the deferred store closures for out-vreg v (callers
+        interleave ``ilp`` of these per loop iteration — the fine
+        search is a mostly-dependent shuffle chain, so independent
+        vregs overlap it; the bitonic phase-A lesson)."""
         lo = lo_ref[0, v, 0]
         w0 = st_ref[pl.ds(lo, SUB), :]
         w1 = st_ref[pl.ds(lo + SUB, SUB), :]
@@ -83,13 +88,12 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
                           jnp.take_along_axis(rowa, lane, axis=1),
                           jnp.take_along_axis(rowb, lane, axis=1))
 
-        # fine = #{k: S[j, k] <= p} — two-level counting search.  A
-        # classic 8-step binary search is a chain of 8 DEPENDENT lane
-        # shuffles and measures latency-bound (~6 ms / 8 MiB, the whole
-        # kernel's cost; scripts/prof_rank.py ablation).  Counting
-        # probes are independent: 8 static-index probes count complete
-        # 16-blocks <= p, then 15 probes inside the found block (their
-        # indices share one data edge but not each other).
+        # fine = #{k: S[j, k] <= p} — coarse counting + binary tail.
+        # 8 INDEPENDENT static-index probes count complete 16-blocks
+        # <= p; a 4-probe binary search resolves within the block
+        # (dependent chain of 4, hidden by the cross-vreg interleave).
+        # The round-3 shape was 8 + 15 independent probes — the binary
+        # tail trades 11 probes for 4 chain links.
         p = v * 1024 + iota_s * LANES + iota_l
         fh = zeros
         for m in range(SUB):
@@ -98,12 +102,12 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
                 axis=1)
             fh = fh + (sval <= p).astype(jnp.int32)
         base16 = fh << 4
-        cnt2 = zeros
-        for m in range(15):
-            sval = jnp.take_along_axis(
-                s_win, jnp.minimum(base16 + m, LANES - 1), axis=1)
-            cnt2 = cnt2 + (sval <= p).astype(jnp.int32)
-        fine = jnp.where(fh == SUB, LANES, base16 + cnt2)
+        off = zeros
+        for step in (8, 4, 2, 1):
+            idx = jnp.minimum(base16 + off + step - 1, LANES - 1)
+            sval = jnp.take_along_axis(s_win, idx, axis=1)
+            off = off + jnp.where(sval <= p, step, 0)
+        fine = jnp.where(fh == SUB, LANES, base16 + off)
 
         li = offs - 1 + fine                  # window-local token id
         # per-row the ids span <= 129 -> two window rows; the lower one
@@ -116,15 +120,20 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
         sb = _sel16(w0, w1, qa + 1)
         pa = _sel16(p0, p1, qa)
         pb = _sel16(p0, p1, qa + 1)
-        os_ref[pl.ds(v * SUB, SUB), :] = jnp.where(
-            in_a, jnp.take_along_axis(sa, sh, axis=1),
-            jnp.take_along_axis(sb, sh, axis=1))
-        op_ref[pl.ds(v * SUB, SUB), :] = jnp.where(
-            in_a, jnp.take_along_axis(pa, sh, axis=1),
-            jnp.take_along_axis(pb, sh, axis=1))
+        o_s = jnp.where(in_a, jnp.take_along_axis(sa, sh, axis=1),
+                        jnp.take_along_axis(sb, sh, axis=1))
+        o_p = jnp.where(in_a, jnp.take_along_axis(pa, sh, axis=1),
+                        jnp.take_along_axis(pb, sh, axis=1))
+        return o_s, o_p
+
+    def vreg(i, _):
+        outs = [one(i * ilp + j) for j in range(ilp)]
+        for j, (o_s, o_p) in enumerate(outs):
+            os_ref[pl.ds((i * ilp + j) * SUB, SUB), :] = o_s
+            op_ref[pl.ds((i * ilp + j) * SUB, SUB), :] = o_p
         return 0
 
-    jax.lax.fori_loop(0, n_vregs, vreg, 0)
+    jax.lax.fori_loop(0, n_vregs // ilp, vreg, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))

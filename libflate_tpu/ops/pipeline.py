@@ -87,12 +87,22 @@ def _compose_cand(cand: jnp.ndarray, prev: jnp.ndarray,
     return jnp.where(ok, r, -1)
 
 
+#: LCP-kernel sweep window for rounds >= 3 when the sort matcher's
+#: exact 12-byte lengths are available: only matches BOTH longer than
+#: 12 AND farther than this lose their tail (bench corpus: 12% of the
+#: >=13 tail bytes — ratio cost ~1e-4) while the kernel sweep shrinks
+#: from 34 to 10 row groups.
+LCP_TAIL_WINDOW = 8192
+
+
 @functools.partial(jax.jit, static_argnames=("lazy", "use_kernel",
-                                              "window", "chain"))
+                                              "window", "chain",
+                                              "m_exact"))
 def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                    cand: jnp.ndarray, lazy: bool = False,
                    use_kernel: bool = False, window: int = 32768,
-                   chain: int = 1, m4: jnp.ndarray | None = None):
+                   chain: int = 1, m4: jnp.ndarray | None = None,
+                   m_exact: int = 4):
     """Candidate masking + LCP (+ TOO_FAR / lazy heuristics).
 
     ``use_kernel`` routes the LCP through the Pallas member-in-VMEM
@@ -115,9 +125,13 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     def lcp(c, m4_=None):
         if use_kernel:
             from .pallas_lcp import match_lengths_pallas
+            win = window
+            if m4_ is not None and m_exact >= 12:
+                win = min(window, LCP_TAIL_WINDOW)
             return match_lengths_pallas(blocks, c, n_valid,
                                         max_rounds=KERNEL_LCP_ROUNDS,
-                                        window=window, m4=m4_)
+                                        window=win, m4=m4_,
+                                        m_exact=m_exact)
         return jax.vmap(
             lambda d, cc: match_lengths(d, cc,
                                         max_rounds=KERNEL_LCP_ROUNDS)
@@ -221,16 +235,19 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     # at production shapes (sort_match has its own small-shape tests).
     matcher_env = os.environ.get("LIBFLATE_DEVICE_MATCHER")
     m4 = None
+    m_exact = 4
     if matcher_env == "sort" or (matcher_env is None and _use_pallas()):
-        from .sort_match import sort_candidates
+        from .sort_match import M_EXACT, sort_candidates
         cand, m4 = sort_candidates(blocks, window=window)
+        m_exact = M_EXACT
     else:
         cand = prefix_candidates_pallas(blocks, window=window)
     n = blocks.shape[1]
     use_kernel = n % 1024 == 0 and os.environ.get(
         "LIBFLATE_XLA_LCP") != "1"
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
-                                   use_kernel, window, chain, m4)
+                                   use_kernel, window, chain, m4,
+                                   m_exact)
     return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
 
 
@@ -391,6 +408,30 @@ def _shared_assemble(f1v, f1w, f2v, f2w, hdrv, hdrw, lenv, lenw,
 
 
 @jax.jit
+def _shared_tokens_kernel(a, b, valid, lit_rev, lit_w, dist_rev,
+                          dist_w, hdrv, hdrw, lenv, lenw):
+    """Hole-mask + pad + table broadcast + pallas token fields + field
+    assembly under ONE jit — op-by-op eager glue between the jitted
+    pieces measured ~5 ms of per-dispatch overhead per 8 MiB batch on
+    the axon relay (half the fields stage)."""
+    from .pallas_fields import token_fields_pallas
+
+    bsz, m = a.shape
+    pad = (-m) % 1024
+    padm = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+    rep = lambda t, n: jnp.broadcast_to(t[None, :], (bsz, n))
+    a_holes = jnp.where(valid, a, -1)     # hole sentinel for kernel
+    f1v, f1w, f2v, f2w = token_fields_pallas(
+        padm(a_holes), padm(b), jnp.full((bsz,), m, jnp.int32),
+        rep(jnp.pad(lit_rev, (0, 2)), 288),
+        rep(jnp.pad(lit_w, (0, 2)), 288),
+        rep(dist_rev, 30), rep(dist_w, 30))
+    return _shared_assemble(f1v[:, :m], f1w[:, :m], f2v[:, :m],
+                            f2w[:, :m], hdrv, hdrw, lenv, lenw,
+                            lit_rev[256], lit_w[256])
+
+
+@jax.jit
 def _valid_from_count(a, cnt):
     m = a.shape[1]
     return jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
@@ -415,8 +456,6 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = SHARED_MAX_LEN,
     Split into several small jits — one fused graph costs minutes of
     XLA TPU compile time (see _encode_batch).
     """
-    from .pallas_fields import token_fields_pallas
-
     bsz, m = a.shape
     del bfinal  # every member is one final block; header assumes BFINAL=1
     if valid is None:
@@ -427,20 +466,11 @@ def _fields_batch_shared(a, b, cnt, bfinal, max_len: int = SHARED_MAX_LEN,
     hdrv, hdrw, lenv, lenw = _shared_header(lit_lengths, dist_lengths)
 
     if _use_pallas():
-        pad = (-m) % 1024
-        padm = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
-        rep = lambda t, n: jnp.broadcast_to(t[None, :], (bsz, n))
-        a_holes = jnp.where(valid, a, -1)     # hole sentinel for kernel
-        f1v, f1w, f2v, f2w = token_fields_pallas(
-            padm(a_holes), padm(b), jnp.full((bsz,), m, jnp.int32),
-            rep(jnp.pad(lit_rev, (0, 2)), 288),
-            rep(jnp.pad(lit_w, (0, 2)), 288),
-            rep(dist_rev, 30), rep(dist_w, 30))
-        f1v, f1w = f1v[:, :m], f1w[:, :m]
-        f2v, f2w = f2v[:, :m], f2w[:, :m]
-    else:
-        f1v, f1w, f2v, f2w = _shared_tokens_xla(a, b, valid, lit_rev,
-                                                lit_w, dist_rev, dist_w)
+        return _shared_tokens_kernel(a, b, valid, lit_rev, lit_w,
+                                     dist_rev, dist_w, hdrv, hdrw,
+                                     lenv, lenw)
+    f1v, f1w, f2v, f2w = _shared_tokens_xla(a, b, valid, lit_rev,
+                                            lit_w, dist_rev, dist_w)
     return _shared_assemble(f1v, f1w, f2v, f2w, hdrv, hdrw, lenv, lenw,
                             lit_rev[256], lit_w[256])
 
@@ -689,29 +719,38 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     small rows = [bits, n_tokens, crc_f_raw, overflow,
     sync_offsets x S, chunk_starts x (n_ch + 1)].
     """
-    from .checksum import crc32_f_rows
     a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid, lazy=lazy,
                                              cap=cap, window=window,
                                              chain=chain)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                           valid=valid)
     cols, starts, bits = _pack_chunks_device(values, widths)
-    # pack-kernel invariant (ops/pallas_pack.d_out_for sizing): single
-    # field <= 28 bits and every adjacent pair <= 38, else flushed words
-    # can silently fall past the column depth.  Surfaced as bit 1 of the
-    # overflow flag; the host raises instead of emitting a corrupt
-    # stream (reference parity: debug_assert! in src/bit.rs:26-27).
+    small = _sync_cols_tail(blocks, widths, valid, bits, cnt, ovf,
+                            starts, k)
+    return cols, small
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _sync_cols_tail(blocks, widths, valid, bits, cnt, ovf, starts, k):
+    """Overflow flags + sync offsets + member CRCs + the packed small
+    row, under one jit (eager glue costs ~0.5 ms per op on the relay).
+
+    Pack-kernel invariant (ops/pallas_pack.d_out_for sizing): single
+    field <= 28 bits and every adjacent pair <= 38, else flushed words
+    can silently fall past the column depth.  Surfaced as bit 1 of the
+    overflow flag; the host raises instead of emitting a corrupt
+    stream (reference parity: debug_assert! in src/bit.rs:26-27)."""
+    from .checksum import crc32_f_rows
     wbad = (jnp.any(widths > 28, axis=1)
             | jnp.any(widths[:, :-1] + widths[:, 1:] > 38, axis=1))
     flags = ovf.astype(jnp.int32) | (wbad.astype(jnp.int32) << 1)
     offsets = _sync_offsets_padded(widths, valid, k)
     crc_f = crc32_f_rows(blocks)
-    small = jnp.concatenate(
+    return jnp.concatenate(
         [bits.astype(jnp.int32)[:, None],
          cnt.astype(jnp.int32)[:, None], crc_f[:, None],
          flags[:, None], offsets.astype(jnp.int32),
          starts.astype(jnp.int32)], axis=1)
-    return cols, small
 
 
 def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,

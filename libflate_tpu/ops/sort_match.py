@@ -6,8 +6,13 @@ position's best candidates are then its IMMEDIATELY PRECEDING sorted
 neighbors: among equal prefixes they are exactly the zlib hash chain
 (nearest previous occurrence first), across a prefix boundary they are
 the longest-shared-prefix predecessors, and the shared-prefix length
-(<= 4) falls out of the key XOR with no data gather at all.  A second
-bitonic pass (key = position) restores text order.
+falls out of key XORs with no data gather at all.  The sort CARRIES the
+next two prefix words (w4[p+4], w4[p+8]) as extra payloads, so the
+back-scan scores candidates by their EXACT shared length up to 12
+bytes — the LCP kernel then only extends the rare >= 12 survivors
+(~10% of matched positions on the bench corpus, 88% of them within
+8 KiB), letting it start at round 3 over a narrow window.  A second
+bitonic pass (key = position, payload = m) restores text order.
 
 vs the round-3 per-lane hash kernel (ops/pallas_lz77): no bucket
 collisions (exact prefix grouping), K chain candidates for the price
@@ -18,7 +23,7 @@ pipeline's single largest term at ~26 ms / 8 MiB).
 Parity note: replaces the reference's single-slot prefix table
 (libflate_lz77/src/default.rs:69-129); candidate quality is a superset
 (its table keeps one entry per 3-byte hash, this keeps every
-occurrence in prefix order).
+occurrence in prefix order, scored by 12-byte shared length).
 """
 from __future__ import annotations
 
@@ -27,55 +32,77 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_sort import sort_keys, sort_pairs
+from .pallas_sort import sort_multi, sort_pairs
 
 #: sorted neighbors examined per position (the effective chain depth)
 SCAN_K = 8
+#: exact shared-length bound from the carried prefix words
+M_EXACT = 12
+
+
+def _w4be(dd: jnp.ndarray, o: int, n: int) -> jnp.ndarray:
+    return ((dd[:, o:o + n] << 24) | (dd[:, o + 1:o + n + 1] << 16)
+            | (dd[:, o + 2:o + n + 2] << 8) | dd[:, o + 3:o + n + 3])
+
+
+def _lead_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """Number of leading EQUAL bytes of a big-endian XOR word (0..4)."""
+    return jnp.where(
+        x == 0, 4,
+        jnp.where((x & jnp.int32(-16777216)) != 0, 0,
+                  jnp.where(x & 0xFF0000, 1,
+                            jnp.where(x & 0xFF00, 2, 3))))
 
 
 @functools.partial(jax.jit, static_argnames=("window", "scan_k"))
 def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
                     scan_k: int = SCAN_K):
-    """(B, n) uint8 member bytes -> (cand, lcp4) both (B, n) int32.
+    """(B, n) uint8 member bytes -> (cand, m) both (B, n) int32.
 
-    cand[p]: best earlier position sharing the longest 4-byte-prefix
-    (>= 3 bytes) within ``window``, ties to the nearest; -1 if none.
-    lcp4[p]: the EXACT shared-prefix length with cand (3 or 4) — a
-    length-4 prefix match still extends further (the LCP stage's job).
+    cand[p]: best earlier position within ``window`` scored by
+    (exact shared-prefix length up to 12) major, nearness minor;
+    -1 if none shares >= 3 bytes.
+    m[p]: the EXACT shared-prefix length with cand, clipped to 12 —
+    a length-12 value may extend further (the LCP kernel's job,
+    rounds >= 3).
     """
     bsz, n = blocks.shape
     n_pad = 1 << (n - 1).bit_length()
     assert n_pad <= 1 << 16, "unsort packing holds 16-bit positions"
 
     d = blocks.astype(jnp.uint32)
-    pad = jnp.zeros((bsz, 3), jnp.uint32)
+    pad = jnp.zeros((bsz, 11), jnp.uint32)
     dd = jnp.concatenate([d, pad], axis=1)
-    w4be = ((dd[:, :n] << 24) | (dd[:, 1:n + 1] << 16)
-            | (dd[:, 2:n + 2] << 8) | dd[:, 3:n + 3])
+    w4be = _w4be(dd, 0, n)
     key = (w4be ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    w8 = _w4be(dd, 4, n).astype(jnp.int32)
+    w12 = _w4be(dd, 8, n).astype(jnp.int32)
     if n_pad != n:  # padding sorts last and is filtered by dist > 0
         key = jnp.pad(key, ((0, 0), (0, n_pad - n)),
                       constant_values=jnp.int32(2 ** 31 - 1))
+        w8 = jnp.pad(w8, ((0, 0), (0, n_pad - n)))
+        w12 = jnp.pad(w12, ((0, 0), (0, n_pad - n)))
     pos = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[None, :],
                            (bsz, n_pad))
 
-    ks, ps = sort_pairs(key, pos, tiebreak=True)
+    ks, ps, w8s, w12s = sort_multi(key, pos, w8, w12, tiebreak=True)
 
     best_score = jnp.full((bsz, n_pad), -1, jnp.int32)
     best_cand = jnp.full((bsz, n_pad), -1, jnp.int32)
     best_l = jnp.zeros((bsz, n_pad), jnp.int32)
     for k in range(1, scan_k + 1):
-        kk = jnp.concatenate(
-            [jnp.zeros((bsz, k), jnp.int32), ks[:, :-k]], axis=1)
-        pp = jnp.concatenate(
-            [jnp.full((bsz, k), 1 << 20, jnp.int32), ps[:, :-k]],
-            axis=1)
+        shift = lambda a, fill: jnp.concatenate(
+            [jnp.full((bsz, k), fill, jnp.int32), a[:, :-k]], axis=1)
+        kk = shift(ks, 0)
+        pp = shift(ps, 1 << 20)
         x = ks ^ kk
-        lcp = jnp.where(
-            x == 0, 4,
-            jnp.where((x & jnp.int32(-16777216)) != 0, 0,
-                      jnp.where(x & 0xFF0000, 1,
-                                jnp.where(x & 0xFF00, 2, 3))))
+        lcp = _lead_bytes(x)
+        # exact extension to 8 then 12 from the carried words (BE, so
+        # the leading XOR byte is the first differing byte)
+        x8 = w8s ^ shift(w8s, 0)
+        x12 = w12s ^ shift(w12s, 0)
+        lcp = jnp.where(x == 0, 4 + _lead_bytes(x8), lcp)
+        lcp = jnp.where((x == 0) & (x8 == 0), 8 + _lead_bytes(x12), lcp)
         dist = ps - pp
         ok = (dist > 0) & (dist <= window) & (lcp >= 3)
         score = (lcp << 17) + (window - dist)
@@ -84,11 +111,12 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
         best_cand = jnp.where(upd, pp, best_cand)
         best_l = jnp.where(upd, lcp, best_l)
 
-    # unsort as a SINGLE-array sort: pack pos(16) | lcp4==4 flag(1) |
-    # dist-1(15) into one int32 (half the bitonic data movement).  The
-    # all-ones dist field with a clear flag is the no-candidate
-    # sentinel — it also swallows the worthless (dist=32768, lcp=3)
-    # corner (zlib's TOO_FAR drops len-3 beyond 4 KiB anyway).
+    # unsort as a (key, payload) sort: pack pos(16) | m4+ flag(1) |
+    # dist-1(15) into the key (half the bitonic key movement) and carry
+    # the exact shared length m as the payload.  The all-ones dist
+    # field with a clear flag is the no-candidate sentinel — it also
+    # swallows the worthless (dist=32768, lcp=3) corner (zlib's TOO_FAR
+    # drops len-3 beyond 4 KiB anyway).
     valid = best_cand >= 0
     ext = valid & (best_l >= 4)
     dist_b = jnp.where(valid, ps - best_cand - 1, 0x7FFF)
@@ -96,12 +124,12 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
               | (ext.astype(jnp.uint32) << 15)
               | dist_b.astype(jnp.uint32))
     key2 = (packed ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-    ks2 = sort_keys(key2)
+    ks2, m_o = sort_pairs(key2, best_l)
     u = ks2.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
     pos_o = (u >> 16).astype(jnp.int32)
     dist_o = (u & 0x7FFF).astype(jnp.int32)
     ext_o = ((u >> 15) & 1).astype(jnp.int32)
     none = (ext_o == 0) & (dist_o == 0x7FFF)
     cand = jnp.where(none, -1, pos_o - dist_o - 1)
-    lcp4 = jnp.where(none, 0, 3 + ext_o)
-    return cand[:, :n], lcp4[:, :n]
+    m = jnp.where(none, 0, jnp.minimum(m_o, M_EXACT))
+    return cand[:, :n], m[:, :n]

@@ -95,8 +95,9 @@ def main():
     _m4 = jax.device_put(np.asarray(_m4))
 
     def lengths_m4():
+        from libflate_tpu.ops.sort_match import M_EXACT
         return pp._lengths_stage(blocks, nv, _c4, True, True, 32768,
-                                 CHAIN, _m4)[1]
+                                 CHAIN, _m4, M_EXACT)[1]
 
     @jax.jit
     def parse(cand2, lengths2):
