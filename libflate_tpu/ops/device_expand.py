@@ -62,33 +62,25 @@ def expand_members(packed: jnp.ndarray, n_tokens: jnp.ndarray,
     starts = ends - lens
     n_out = ends[:, -1]
     overflow = n_out > out_cap
+    # bad distance = a match reaching before its member's start; a
+    # token-level (B, T) reduce — the per-position check this replaces
+    # scanned the full (B, out_cap) src array
+    bad_dist = jnp.any(is_match & (starts < b), axis=1)
 
-    # fused rank + field gather: output position -> covering token's
-    # (start, packed) in one kernel pass (ops/pallas_rank; replaces the
-    # XLA bucket-rank build + gather_two — 8.4 -> ~1 ms per 8 MiB)
+    # fused rank + field gather + mod-collapse: output position ->
+    # covering token -> chase-ready (src, lit) in ONE kernel pass
+    # (ops/pallas_rank emit="src"; replaces the XLA bucket-rank build +
+    # gather_two + the 8M-element mod/mask tail)
     pk = jnp.where(valid, jnp.where(is_match, packed, a), 0)
-    from .pallas_rank import rank_gather_fields
-    tok_start, tok_pk = rank_gather_fields(
-        jnp.minimum(starts, out_cap - 1), pk, valid, out_cap)
-    tok_d = (tok_pk >> 9) & 0xFFFF
-    tok_a = tok_pk & 511
-
-    pos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
-    is_lit = tok_d == 0
-    # mod-collapse: jump past the whole overlapped copy in one step
-    rel = pos - tok_start
-    src = jnp.where(is_lit, pos,
-                    rel % jnp.maximum(tok_d, 1) + tok_start - tok_d)
-    live = pos < n_out[:, None]
-    bad_dist = jnp.any((src < 0) & ~is_lit & live, axis=1)
-    src = jnp.clip(src, 0, out_cap - 1)
-    src = jnp.where(live, src, pos)          # padding: fixpoints
+    from .pallas_rank import rank_emit_src
+    src, litvals = rank_emit_src(
+        jnp.minimum(starts, out_cap - 1), pk, valid,
+        jnp.minimum(n_out, out_cap), out_cap)
 
     # fused chase + materialize: one sequential-block kernel pass
     # (ops/pallas_expand) replaces the two-level doubling rounds and
-    # the final materialize gather
-    litvals = jnp.where(is_lit, tok_a & 255, 0)
+    # the final materialize gather; padding positions are fixpoints
+    # with lit 0, so no post-mask is needed
     out = resolve_bytes(src, litvals).astype(jnp.uint8)
-    out = jnp.where(live, out, 0).astype(jnp.uint8)
     err = overflow | bad_dist
     return out, jnp.minimum(n_out, out_cap), err

@@ -71,120 +71,161 @@ def _vgather(val: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _resolve_kernel(cnt_ref, lst_ref, src_ref, lit_ref, out_ref, *,
+def _resolve_kernel(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                     n_super: int, skip: tuple = (),
                     far_mode: str = "uband"):
     # ``skip`` is an ablation knob for profiling scripts ONLY — it is a
     # static jit argument (so it participates in the cache key), never
     # read from the environment inside production traces.
+    # ``src_refs``/``lit_refs``/``out_refs`` are per-member 2-D refs:
+    # M members resolve in lockstep per grid program, so the far sweep,
+    # doubling, and sibling chains of INDEPENDENT members interleave —
+    # the whole kernel is a latency-bound shuffle cascade and M-way
+    # member ILP overlaps the chains (the bitonic phase-A lesson, one
+    # level up).  The far sweep serves all M members from the union of
+    # their bands: ~1.7x more band rows than one member's band, for
+    # M x fewer loop trips.
+    M = len(src_refs)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
 
     def superblock(sb, _):
-        vs = []                                  # resolved byte vregs
-
         # --- union far fetch (default): ONE sweep over the union of
-        # the 4 sub-blocks' [min,max] bands serves all of them — 4x
+        # the 4*M sub-blocks' [min,max] bands serves all of them — 4x
         # fewer loads, loop iterations, and scalar reduces than
         # per-sub-block sweeps (sub-bands within a superblock mostly
         # overlap; scripts/prof_decode2.py A/B).
-        far_w = [None] * 4
-        if far_mode == "uband" and "far" not in skip:
-            ss = []
-            for j in range(4):
-                ss.append(src_ref[pl.ds((sb * 4 + j) * SUB, SUB), :])
-            fars = [(s >> 12) < sb for s in ss]
-            mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
-            mx = jnp.full((SUB, LANES), -1, jnp.int32)
-            for s, f in zip(ss, fars):
-                mn = jnp.minimum(mn, jnp.where(f, s, 2 ** 30))
-                mx = jnp.maximum(mx, jnp.where(f, s, -1))
-            g0 = jnp.min(mn) >> 12
-            g1 = jnp.max(mx) >> 12
-            rows4 = [s >> 9 for s in ss]
-            lanes4 = [s & (LANES - 1) for s in ss]
+        if far_mode.startswith("uband"):
+            ss = [[src_refs[m][pl.ds((sb * 4 + j) * SUB, SUB), :]
+                   for j in range(4)] for m in range(M)]
+            lit4m = [[lit_refs[m][pl.ds((sb * 4 + j) * SUB, SUB), :]
+                      for j in range(4)] for m in range(M)]
+            far_w = [[None] * 4 for _ in range(M)]
+            if "far" not in skip:
+                if far_mode == "uband-static":
+                    # mod-collapsed sources reach back at most
+                    # 32768 + 257 bytes (max distance + max token-start
+                    # slack), i.e. 9 groups: fixed trip count, no
+                    # vector->scalar min/max reduces (the ~25x rule)
+                    g0 = jnp.maximum(sb - 9, 0)
+                    g1 = sb - 1
+                else:
+                    fars = [[(s >> 12) < sb for s in sm] for sm in ss]
+                    mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
+                    mx = jnp.full((SUB, LANES), -1, jnp.int32)
+                    for sm, fm in zip(ss, fars):
+                        for s, f in zip(sm, fm):
+                            mn = jnp.minimum(mn,
+                                             jnp.where(f, s, 2 ** 30))
+                            mx = jnp.maximum(mx, jnp.where(f, s, -1))
+                    g0 = jnp.min(mn) >> 12
+                    g1 = jnp.max(mx) >> 12
+                rows4 = [[s >> 9 for s in sm] for sm in ss]
+                lanes4 = [[s & (LANES - 1) for s in sm] for sm in ss]
+                # chain count: (m, j) pairs, plus a u-parity split when
+                # that still leaves fewer than 8 independent chains
+                par = 2 if M * 4 < 8 else 1
 
-            def sweepu(kk, accs):
-                # 8 select-accumulator chains (one per (j, u-parity))
-                # interleave for ILP; the pair merges by OR (every
-                # element matches exactly one swept row)
-                rows = out_ref[pl.ds(kk * SUB, SUB), :]
-                accs = list(accs)
-                for u in range(SUB):
-                    rb = jnp.broadcast_to(rows[u:u + 1, :],
-                                          (SUB, LANES))
+                def sweepu(kk, accs):
+                    accs = list(accs)
+                    for m in range(M):
+                        rows = out_refs[m][pl.ds(kk * SUB, SUB), :]
+                        for u in range(SUB):
+                            rb = jnp.broadcast_to(rows[u:u + 1, :],
+                                                  (SUB, LANES))
+                            for j in range(4):
+                                q = (m * 4 + j) * par + (u & 1) * (par - 1)
+                                accs[q] = jnp.where(
+                                    rows4[m][j] == kk * SUB + u,
+                                    jnp.take_along_axis(
+                                        rb, lanes4[m][j], axis=1),
+                                    accs[q])
+                    return tuple(accs)
+
+                zero = jnp.zeros((SUB, LANES), jnp.int32)
+                accs = jax.lax.fori_loop(g0, g1 + 1, sweepu,
+                                         (zero,) * (4 * M * par))
+                for m in range(M):
                     for j in range(4):
-                        q = j * 2 + (u & 1)
-                        accs[q] = jnp.where(
-                            rows4[j] == kk * SUB + u,
-                            jnp.take_along_axis(rb, lanes4[j], axis=1),
-                            accs[q])
-                return tuple(accs)
+                        q = (m * 4 + j) * par
+                        w = accs[q]
+                        if par == 2:
+                            w = w | accs[q + 1]
+                        far_w[m][j] = w
 
-            zero = jnp.zeros((SUB, LANES), jnp.int32)
-            acc8 = jax.lax.fori_loop(g0, g1 + 1, sweepu, (zero,) * 8)
-            far_w = [acc8[j * 2] | acc8[j * 2 + 1] for j in range(4)]
+            # --- per-sub-block state; far substitution first ----------
+            s4 = [[None] * 4 for _ in range(M)]
+            for m in range(M):
+                for j in range(4):
+                    base = (sb * 4 + j) * BLK
+                    s = ss[m][j]
+                    if "far" not in skip:
+                        far = (s >> 12) < sb
+                        w = far_w[m][j]
+                        fv = (w >> (((s >> 7) & 3) * 8)) & 255
+                        self_idx = base + iota_s * LANES + iota_l
+                        lit4m[m][j] = jnp.where(far, fv, lit4m[m][j])
+                        s = jnp.where(far, self_idx, s)
+                    s4[m][j] = s
 
-        # --- per-sub-block state; far substitution first --------------
-        s4, lit4 = [], []
-        for j in range(4):
-            blk = sb * 4 + j
-            base = blk * BLK
-            s = src_ref[pl.ds(blk * SUB, SUB), :]
-            lit2 = lit_ref[pl.ds(blk * SUB, SUB), :]
-            if far_mode == "uband" and "far" not in skip:
-                far = (s >> 12) < sb
-                w = far_w[j]
-                fv = (w >> (((s >> 7) & 3) * 8)) & 255
-                self_idx = base + iota_s * LANES + iota_l
-                lit2 = jnp.where(far, fv, lit2)
-                s = jnp.where(far, self_idx, s)
-            s4.append(s)
-            lit4.append(lit2)
-
-        if far_mode == "uband":
-            # --- doubling, all 4 sub-blocks interleaved: each block's
-            # round chain is serially dependent, the 4 chains are not
-            # (ILP; the bitonic phase-A lesson)
+            # --- doubling, all 4*M sub-blocks interleaved: each
+            # block's round chain is serially dependent, the chains are
+            # not (ILP; the bitonic phase-A lesson)
             if "row" not in skip:
                 for _ in range(7):
-                    for j in range(4):
-                        abs_row = (sb * 4 + j) * SUB + iota_s
-                        own_row = (s4[j] >> 7) == abs_row
-                        cnd = jnp.take_along_axis(
-                            s4[j], s4[j] & (LANES - 1), axis=1)
-                        s4[j] = jnp.where(own_row, cnd, s4[j])
+                    for m in range(M):
+                        for j in range(4):
+                            abs_row = (sb * 4 + j) * SUB + iota_s
+                            own_row = (s4[m][j] >> 7) == abs_row
+                            cnd = jnp.take_along_axis(
+                                s4[m][j], s4[m][j] & (LANES - 1),
+                                axis=1)
+                            s4[m][j] = jnp.where(own_row, cnd, s4[m][j])
             if "xrow" not in skip:
                 for _ in range(3):
-                    for j in range(4):
-                        blk = sb * 4 + j
-                        own = (s4[j] >> BLK_BITS) == blk
-                        s4[j] = jnp.where(
-                            own, _vgather(s4[j], s4[j] - blk * BLK),
-                            s4[j])
-            for j in range(4):
-                blk = sb * 4 + j
-                s = s4[j]
-                own = (s >> BLK_BITS) == blk
-                v = jnp.where(own, _vgather(lit4[j], s - blk * BLK), 0)
-                if "sib" not in skip:
-                    for t in range(j):           # sibling sub-blocks
-                        sel = (s >> BLK_BITS) == (sb * 4 + t)
-                        v = jnp.where(
-                            sel,
-                            _vgather(vs[t], s - (sb * 4 + t) * BLK), v)
-                vs.append(v)
-            rows_out = []
-            for j in range(4):                   # sublane-pack 4 -> 1
-                b = vs[j]
-                rows_out.append(b[0:1] | (b[1:2] << 8) | (b[2:3] << 16)
-                                | (b[3:4] << 24))
-                rows_out.append(b[4:5] | (b[5:6] << 8) | (b[6:7] << 16)
-                                | (b[7:8] << 24))
-            out_ref[pl.ds(sb * SUB, SUB), :] = jnp.concatenate(
-                rows_out, axis=0)
+                    for m in range(M):
+                        for j in range(4):
+                            blk = sb * 4 + j
+                            own = (s4[m][j] >> BLK_BITS) == blk
+                            s4[m][j] = jnp.where(
+                                own,
+                                _vgather(s4[m][j], s4[m][j] - blk * BLK),
+                                s4[m][j])
+            for m in range(M):
+                vs = []                          # resolved byte vregs
+                for j in range(4):
+                    blk = sb * 4 + j
+                    s = s4[m][j]
+                    own = (s >> BLK_BITS) == blk
+                    v = jnp.where(own,
+                                  _vgather(lit4m[m][j], s - blk * BLK),
+                                  0)
+                    if "sib" not in skip:
+                        for t in range(j):       # sibling sub-blocks
+                            sel = (s >> BLK_BITS) == (sb * 4 + t)
+                            v = jnp.where(
+                                sel,
+                                _vgather(vs[t], s - (sb * 4 + t) * BLK),
+                                v)
+                    vs.append(v)
+                rows_out = []
+                for j in range(4):               # sublane-pack 4 -> 1
+                    b = vs[j]
+                    rows_out.append(b[0:1] | (b[1:2] << 8)
+                                    | (b[2:3] << 16) | (b[3:4] << 24))
+                    rows_out.append(b[4:5] | (b[5:6] << 8)
+                                    | (b[6:7] << 16) | (b[7:8] << 24))
+                out_refs[m][pl.ds(sb * SUB, SUB), :] = jnp.concatenate(
+                    rows_out, axis=0)
             return 0
 
+        # --- legacy single-member band/list modes (A/B only) ----------
+        src_ref, lit_ref, out_ref = src_refs[0], lit_refs[0], out_refs[0]
+        s4, lit4 = [], []
+        for j in range(4):
+            s4.append(src_ref[pl.ds((sb * 4 + j) * SUB, SUB), :])
+            lit4.append(lit_ref[pl.ds((sb * 4 + j) * SUB, SUB), :])
+        vs = []
         for j in range(4):
             blk = sb * 4 + j
             base = blk * BLK
@@ -329,10 +370,9 @@ def far_rowlists(src: jnp.ndarray):
     return cnt, lst
 
 
-@functools.partial(jax.jit, static_argnames=("skip", "far_mode"))
 def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
-                   skip: tuple = (), far_mode: str = "uband"
-                   ) -> jnp.ndarray:
+                   skip: tuple = (), far_mode: str = "uband",
+                   members: int | None = None) -> jnp.ndarray:
     """Chase mod-collapsed pointers to their literal roots and emit the
     root bytes, per member, in one kernel pass.
 
@@ -344,15 +384,34 @@ def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
             CRC check catches).
         lit: (B, N) int32 literal byte (< 256) per position, read only
             at literal roots.
+        members: members resolved per grid program (M-way member ILP;
+            default LIBFLATE_EXPAND_MEMBERS or 4).  Only the default
+            "uband" far mode supports M > 1.
 
     Returns (B, N // 512, 128) int32 sublane-packed plaintext words:
     position p's byte is ``(out[b, p >> 9, p & 127] >> (8 * ((p >> 7)
     & 3))) & 255`` (see module docstring).  N must divide by 4096.
     """
+    if members is None:
+        members = int(os.environ.get("LIBFLATE_EXPAND_MEMBERS", "8"))
+    if not far_mode.startswith("uband"):
+        members = 1
+    bsz = src.shape[0]
+    while bsz % members:
+        members //= 2
+    return _resolve_packed(src, lit, tuple(skip), far_mode, members)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("skip", "far_mode", "members"))
+def _resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
+                    skip: tuple, far_mode: str, members: int
+                    ) -> jnp.ndarray:
     bsz, n = src.shape
     assert n % SUPER == 0 and lit.shape == (bsz, n)
     rows = n // LANES
     n_sub = n // BLK
+    M = members
 
     if far_mode == "list":
         cnt, lst = far_rowlists(src.astype(jnp.int32))
@@ -360,9 +419,9 @@ def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
         cnt = jnp.zeros((bsz, n_sub), jnp.int32)
         lst = jnp.zeros((bsz, n_sub, ROWLIST_WORDS), jnp.int32)
 
-    spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+    spec = pl.BlockSpec((M, rows, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    spec_o = pl.BlockSpec((1, n // 512, LANES), lambda b: (b, 0, 0),
+    spec_o = pl.BlockSpec((M, n // 512, LANES), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     # per-program SMEM blocks: 3-D shapes whose last two dims equal the
     # array dims keep Mosaic's block rules AND the 1 MiB SMEM budget
@@ -376,10 +435,12 @@ def resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
                              skip=tuple(skip), far_mode=far_mode)
 
     def kfn(c_r, l_r, s_r, li_r, o_r):
-        kern(c_r, l_r, s_r.at[0], li_r.at[0], o_r.at[0])
+        kern(c_r, l_r, [s_r.at[m] for m in range(M)],
+             [li_r.at[m] for m in range(M)],
+             [o_r.at[m] for m in range(M)])
 
     return pl.pallas_call(
-        kfn, grid=(bsz,),
+        kfn, grid=(bsz // M,),
         in_specs=[spec_cnt, spec_lst, spec, spec],
         out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((bsz, n // 512, LANES),

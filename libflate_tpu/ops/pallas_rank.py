@@ -55,11 +55,13 @@ def _sel16(w0, w1, rsel):
 
 
 def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
-                 n_vregs: int, ilp: int = 2):
+                 n_vregs: int, ilp: int = 2, emit: str = "fields",
+                 nout_ref=None, out_cap: int = 0):
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
     zeros = jnp.zeros((SUB, LANES), jnp.int32)
-    ilp = ilp if n_vregs % ilp == 0 else 1
+    while n_vregs % ilp:          # largest power-of-two divisor <= ilp
+        ilp //= 2
 
     def one(v):
         """Emit the deferred store closures for out-vreg v (callers
@@ -124,7 +126,30 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
                         jnp.take_along_axis(sb, sh, axis=1))
         o_p = jnp.where(in_a, jnp.take_along_axis(pa, sh, axis=1),
                         jnp.take_along_axis(pb, sh, axis=1))
-        return o_s, o_p
+        if emit == "fields":
+            return o_s, o_p
+
+        # emit == "src": fold the mod-collapse (ops/device_expand's
+        # XLA tail) into the kernel — src/lit land directly, no extra
+        # 8M-element XLA pass between rank and resolve.
+        d = (o_p >> 9) & 0xFFFF
+        av = o_p & 511
+        is_lit = d == 0
+        rel = p - o_s                 # [0, 257] on live positions
+        dm = jnp.maximum(d, 1)
+        # rel % dm via f32 reciprocal + two +-1 fixups (exact: rel and
+        # dm are small, the quotient is off by at most one ULP-round)
+        q = (rel.astype(jnp.float32) / dm.astype(jnp.float32)
+             ).astype(jnp.int32)
+        r = rel - q * dm
+        r = r + jnp.where(r < 0, dm, 0)
+        r = r - jnp.where(r >= dm, dm, 0)
+        src = jnp.where(is_lit, p, r + o_s - d)
+        lit = jnp.where(is_lit, av & 255, 0)
+        live = p < nout_ref[0, 0, 0]
+        src = jnp.where(live, jnp.clip(src, 0, out_cap - 1), p)
+        lit = jnp.where(live, lit, 0)
+        return src, lit
 
     def vreg(i, _):
         outs = [one(i * ilp + j) for j in range(ilp)]
@@ -136,9 +161,9 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
     jax.lax.fori_loop(0, n_vregs // ilp, vreg, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap",))
+@functools.partial(jax.jit, static_argnames=("out_cap", "ilp"))
 def rank_gather_fields(starts: jnp.ndarray, pk: jnp.ndarray,
-                       valid: jnp.ndarray, out_cap: int):
+                       valid: jnp.ndarray, out_cap: int, ilp: int = 8):
     """Fused output-position -> covering-token rank + 2-field gather.
 
     Args:
@@ -151,6 +176,22 @@ def rank_gather_fields(starts: jnp.ndarray, pk: jnp.ndarray,
     Returns (tok_start, tok_pk): (B, out_cap) int32 — for each output
     position, its covering token's start and packed word.
     """
+    return _rank_call(starts, pk, valid, None, out_cap, ilp, "fields")
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "ilp"))
+def rank_emit_src(starts: jnp.ndarray, pk: jnp.ndarray,
+                  valid: jnp.ndarray, n_out: jnp.ndarray, out_cap: int,
+                  ilp: int = 8):
+    """rank_gather_fields + fused mod-collapse: emits per-position
+    (src, lit) ready for ops/pallas_expand.resolve_packed — literals
+    and padding are fixpoints ``src[p] == p``, matches point at the
+    PRE-TOKEN source ``(p - start) % d + start - d``.  ``n_out`` (B,)
+    masks positions past each member's true output length."""
+    return _rank_call(starts, pk, valid, n_out, out_cap, ilp, "src")
+
+
+def _rank_call(starts, pk, valid, n_out, out_cap, ilp, emit):
     bsz, t = starts.shape
     assert out_cap % 1024 == 0
     big = jnp.int32(out_cap + 2)
@@ -191,21 +232,38 @@ def rank_gather_fields(starts: jnp.ndarray, pk: jnp.ndarray,
     spec_lo = pl.BlockSpec((1, n_vregs, 1), lambda b: (b, 0, 0),
                            memory_space=pltpu.SMEM)
 
-    kern = functools.partial(_rank_kernel, n_vregs=n_vregs)
-
-    def kfn(cex_r, lo_r, st_r, pk_r, os_r, op_r):
-        kern(cex_r, lo_r, st_r.at[0], pk_r.at[0], os_r.at[0],
-             op_r.at[0])
+    kern = functools.partial(_rank_kernel, n_vregs=n_vregs, ilp=ilp,
+                             emit=emit, out_cap=out_cap)
 
     shape = jax.ShapeDtypeStruct((bsz, out_cap // LANES, LANES),
                                  jnp.int32)
+    if emit == "fields":
+        def kfn(cex_r, lo_r, st_r, pk_r, os_r, op_r):
+            kern(cex_r, lo_r, st_r.at[0], pk_r.at[0], os_r.at[0],
+                 op_r.at[0])
+
+        ins = [cex.reshape(bsz, nb, 1), lo.reshape(bsz, n_vregs, 1),
+               st_tab.reshape(bsz, rows_t, LANES),
+               pk_tab.reshape(bsz, rows_t, LANES)]
+        in_specs = [spec_cex, spec_lo, spec_t, spec_t]
+    else:
+        spec_no = pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.SMEM)
+
+        def kfn(cex_r, lo_r, no_r, st_r, pk_r, os_r, op_r):
+            kern(cex_r, lo_r, st_r.at[0], pk_r.at[0], os_r.at[0],
+                 op_r.at[0], nout_ref=no_r)
+
+        ins = [cex.reshape(bsz, nb, 1), lo.reshape(bsz, n_vregs, 1),
+               n_out.astype(jnp.int32).reshape(bsz, 1, 1),
+               st_tab.reshape(bsz, rows_t, LANES),
+               pk_tab.reshape(bsz, rows_t, LANES)]
+        in_specs = [spec_cex, spec_lo, spec_no, spec_t, spec_t]
     o_s, o_p = pl.pallas_call(
         kfn, grid=(bsz,),
-        in_specs=[spec_cex, spec_lo, spec_t, spec_t],
+        in_specs=in_specs,
         out_specs=[spec_o, spec_o],
         out_shape=[shape, shape],
         interpret=_interp(),
-    )(cex.reshape(bsz, nb, 1), lo.reshape(bsz, n_vregs, 1),
-      st_tab.reshape(bsz, rows_t, LANES),
-      pk_tab.reshape(bsz, rows_t, LANES))
+    )(*ins)
     return (o_s.reshape(bsz, out_cap), o_p.reshape(bsz, out_cap))
