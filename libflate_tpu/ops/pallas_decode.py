@@ -241,20 +241,31 @@ EMIT_ROWS = MAX_EMIT + 8  # + one 8-row stripe carrying the count
 EMIT_INVALID = -1   # plain int: a jnp scalar would be a captured constant
 
 
-def _gather512(chunk_rows, local, n_groups: int = CHAIN_CHUNK // SUBLANES):
+def _gather512(chunk_rows, local, n_groups: int = CHAIN_CHUNK // SUBLANES,
+               first_group: int = 0):
     """Gather chunk_rows[(local), lane] for local (1,128) in [0,512).
 
     Row-group select: 64 groups × one 8-deep per-lane dynamic_gather.
+    ``first_group`` statically skips groups the caller can prove below
+    every ``local`` (the parse walk's monotone cursor: after 64*sl
+    steps the cursor's group is >= 8*sl — halves the sweep on average).
     """
     idx8 = jnp.broadcast_to(local, (SUBLANES, LANES))
-    acc = jnp.zeros((1, LANES), jnp.int32)
     grp = local >> 3
-    for k in range(n_groups):
+    # 8 interleaved select-accumulators + an OR tree: each local
+    # matches exactly ONE group (non-matching contributions stay 0),
+    # so the dependent chain is n_groups/8 + 3 deep instead of
+    # n_groups — the serial walk step's latency bound
+    accs = [jnp.zeros((1, LANES), jnp.int32) for _ in range(SUBLANES)]
+    for k in range(first_group, n_groups):
         rows = chunk_rows[k * SUBLANES:(k + 1) * SUBLANES, :]
         sub = jnp.clip(idx8 - k * SUBLANES, 0, SUBLANES - 1)
         cand = jnp.take_along_axis(rows, sub, axis=0)[0:1, :]
-        acc = jnp.where(grp == k, cand, acc)
-    return acc
+        q = k & (SUBLANES - 1)
+        accs[q] = jnp.where(grp == k, cand, accs[q])
+    while len(accs) > 1:
+        accs = [accs[i] | accs[i + 1] for i in range(0, len(accs), 2)]
+    return accs[0]
 
 
 def _walk_emit_kernel(next_ref, tok_ref, entries_ref, out_ref):

@@ -102,24 +102,6 @@ def _resolve_kernel(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                       for j in range(4)] for m in range(M)]
             far_w = [[None] * 4 for _ in range(M)]
             if "far" not in skip:
-                if far_mode == "uband-static":
-                    # mod-collapsed sources reach back at most
-                    # 32768 + 257 bytes (max distance + max token-start
-                    # slack), i.e. 9 groups: fixed trip count, no
-                    # vector->scalar min/max reduces (the ~25x rule)
-                    g0 = jnp.maximum(sb - 9, 0)
-                    g1 = sb - 1
-                else:
-                    fars = [[(s >> 12) < sb for s in sm] for sm in ss]
-                    mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
-                    mx = jnp.full((SUB, LANES), -1, jnp.int32)
-                    for sm, fm in zip(ss, fars):
-                        for s, f in zip(sm, fm):
-                            mn = jnp.minimum(mn,
-                                             jnp.where(f, s, 2 ** 30))
-                            mx = jnp.maximum(mx, jnp.where(f, s, -1))
-                    g0 = jnp.min(mn) >> 12
-                    g1 = jnp.max(mx) >> 12
                 rows4 = [[s >> 9 for s in sm] for sm in ss]
                 lanes4 = [[s & (LANES - 1) for s in sm] for sm in ss]
                 # chain count: (m, j) pairs, plus a u-parity split when
@@ -127,9 +109,13 @@ def _resolve_kernel(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                 par = 2 if M * 4 < 8 else 1
 
                 def sweepu(kk, accs):
+                    # kk may be negative on the unrolled near steps of
+                    # the first superblocks: the load index clamps, the
+                    # raw-kk row compare never matches
+                    kkc = jnp.maximum(kk, 0)
                     accs = list(accs)
                     for m in range(M):
-                        rows = out_refs[m][pl.ds(kk * SUB, SUB), :]
+                        rows = out_refs[m][pl.ds(kkc * SUB, SUB), :]
                         for u in range(SUB):
                             rb = jnp.broadcast_to(rows[u:u + 1, :],
                                                   (SUB, LANES))
@@ -143,8 +129,32 @@ def _resolve_kernel(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                     return tuple(accs)
 
                 zero = jnp.zeros((SUB, LANES), jnp.int32)
-                accs = jax.lax.fori_loop(g0, g1 + 1, sweepu,
-                                         (zero,) * (4 * M * par))
+                init = (zero,) * (4 * M * par)
+                if far_mode == "uband-static":
+                    # mod-collapsed sources reach back at most
+                    # 32768 + 257 bytes (max distance + max token-start
+                    # slack), i.e. 9 groups: fixed trip count, no
+                    # vector->scalar min/max reduces (the ~25x rule)
+                    accs = jax.lax.fori_loop(jnp.maximum(sb - 9, 0),
+                                             sb, sweepu, init)
+                else:
+                    # two-tier sweep: the two groups nearest sb are
+                    # unrolled unconditionally (corpus: ~90% of far
+                    # sources lie within ~8 KiB), and only the rare
+                    # older tail pays a dynamic loop — usually empty,
+                    # bounded by ONE masked min reduce (no max tree)
+                    near0 = sb - 2
+                    mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
+                    for m in range(M):
+                        for j in range(4):
+                            tail = rows4[m][j] < near0 * SUB
+                            mn = jnp.minimum(
+                                mn, jnp.where(tail, ss[m][j], 2 ** 30))
+                    g0 = jnp.min(mn) >> 12
+                    accs = jax.lax.fori_loop(
+                        g0, jnp.maximum(near0, 0), sweepu, init)
+                    accs = sweepu(sb - 2, accs)
+                    accs = sweepu(sb - 1, accs)
                 for m in range(M):
                     for j in range(4):
                         q = (m * 4 + j) * par

@@ -164,7 +164,7 @@ def match_lengths_pallas(blocks: jnp.ndarray, cand: jnp.ndarray,
     bsz, n = blocks.shape
     assert n % (SUB * LANES) == 0
     assert window % 1024 == 0 and window > 0
-    assert m_exact % 4 == 0 and 4 <= m_exact <= 12
+    assert m_exact % 4 == 0 and 4 <= m_exact <= 24
     rows = n // LANES
     groups = rows // SUB
     win_groups = min(window // 1024 + 2, groups)

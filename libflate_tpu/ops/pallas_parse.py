@@ -158,11 +158,18 @@ def _walk_kernel(cap, jump_ref, tok_ref, ent_ref, out_ref, ovf_ref,
 
         @pl.when(alive)
         def _walk(sl=sl):
+            # the cursor advances >= 1 per emitted token, so after
+            # 64*sl walk steps every in-chunk cursor sits at local
+            # >= 64*sl — the gathers statically skip groups below
+            # 8*sl (a skipped slice implies every lane already left
+            # the chunk, so later slices' bounds still hold)
+            fg = sl * (_STEPS // SUB)
+
             def step(i, c):
                 in_chunk = (c >= base) & (c < base + CHUNK)
                 local = jnp.clip(c - base, 0, CHUNK - 1)
-                tv = _gather512(tk, local)
-                nv = _gather512(jmp, local)
+                tv = _gather512(tk, local, first_group=fg)
+                nv = _gather512(jmp, local, first_group=fg)
                 emit_ref[pl.ds(sl * _STEPS + i, 1), :] = jnp.where(
                     in_chunk, tv, -1)
                 return jnp.where(in_chunk, nv, c)

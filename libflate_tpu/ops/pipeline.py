@@ -97,12 +97,12 @@ LCP_TAIL_WINDOW = 8192
 
 @functools.partial(jax.jit, static_argnames=("lazy", "use_kernel",
                                               "window", "chain",
-                                              "m_exact"))
+                                              "m_exact", "lcp_rounds"))
 def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                    cand: jnp.ndarray, lazy: bool = False,
                    use_kernel: bool = False, window: int = 32768,
                    chain: int = 1, m4: jnp.ndarray | None = None,
-                   m_exact: int = 4):
+                   m_exact: int = 4, lcp_rounds: int | None = None):
     """Candidate masking + LCP (+ TOO_FAR / lazy heuristics).
 
     ``use_kernel`` routes the LCP through the Pallas member-in-VMEM
@@ -125,16 +125,28 @@ def _lengths_stage(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     def lcp(c, m4_=None):
         if use_kernel:
             from .pallas_lcp import match_lengths_pallas
+            first = (m_exact // 4) if m4_ is not None else 0
+            # device default with the sort matcher's exact >= 16-byte
+            # lengths: SKIP the extension kernel — lengths cap at
+            # m_exact (dist-1 runs stay exact via the RLE arithmetic
+            # below; ratio 0.3207 vs 0.3150 extended, bench corpus)
+            rounds = (lcp_rounds if lcp_rounds is not None
+                      else (first if (m4_ is not None and m_exact >= 16)
+                            else KERNEL_LCP_ROUNDS))
+            if m4_ is not None and rounds <= first:
+                return jnp.where(c >= 0, m4_, 0)
             win = window
             if m4_ is not None and m_exact >= 12:
                 win = min(window, LCP_TAIL_WINDOW)
             return match_lengths_pallas(blocks, c, n_valid,
-                                        max_rounds=KERNEL_LCP_ROUNDS,
+                                        max_rounds=max(rounds, first + 1),
                                         window=win, m4=m4_,
                                         m_exact=m_exact)
         return jax.vmap(
-            lambda d, cc: match_lengths(d, cc,
-                                        max_rounds=KERNEL_LCP_ROUNDS)
+            lambda d, cc: match_lengths(
+                d, cc,
+                max_rounds=(lcp_rounds if lcp_rounds is not None
+                            else KERNEL_LCP_ROUNDS))
         )(blocks, c)
 
     # exact first-word prefix lengths from the sort matcher let the
@@ -196,7 +208,8 @@ PARSE_CAP = 384
 def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                      lazy: bool | None = None, cap: int | None = None,
                      window: int | None = None,
-                     chain: int | None = None):
+                     chain: int | None = None,
+                     lcp_rounds: int | None = None):
     """Kernel-backed tokenize returning PADDED stream-order tokens.
 
     Returns (a, b, valid, n_tokens, overflow) with token arrays of
@@ -225,6 +238,9 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
         window = int(os.environ.get("LIBFLATE_DEVICE_WINDOW", "32768"))
     if chain is None:
         chain = int(os.environ.get("LIBFLATE_DEVICE_CHAIN", "1"))
+    if lcp_rounds is None:
+        _lr = os.environ.get("LIBFLATE_LCP_ROUNDS")
+        lcp_rounds = int(_lr) if _lr else None
     # default candidate source on real TPUs: sort-based back-scan
     # (exact 4-byte prefix grouping, chain-quality candidates — ratio
     # 0.3260 vs the hash kernel's 0.3395 on the bench corpus, beating
@@ -247,7 +263,7 @@ def _tokenize_padded(blocks: jnp.ndarray, n_valid: jnp.ndarray,
         "LIBFLATE_XLA_LCP") != "1"
     cand, lengths = _lengths_stage(blocks, n_valid, cand, lazy,
                                    use_kernel, window, chain, m4,
-                                   m_exact)
+                                   m_exact, lcp_rounds)
     return parse_tokens_pallas(blocks, n_valid, cand, lengths, cap)
 
 
@@ -269,6 +285,8 @@ def _device_knobs(options) -> dict:
         knobs["lazy"] = False
     if getattr(options, "matcher", "greedy") == "chain":
         knobs["chain"] = max(1, int(getattr(options, "max_chain", 1)))
+    if getattr(options, "lcp_rounds", None) is not None:
+        knobs["lcp_rounds"] = int(options.lcp_rounds)
     return knobs
 
 
@@ -617,26 +635,67 @@ def stitch_chunk_cols(cols: np.ndarray, starts: np.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _sync_offsets_padded(widths: jnp.ndarray, valid: jnp.ndarray, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def _sync_offsets_padded(widths: jnp.ndarray, valid: jnp.ndarray,
+                         k: int, cap: int | None = None):
     """Sync offsets for the padded stream-order token layout.
 
-    Slot i's fields sit at [F0 + 2i, F0 + 2i + 2) but token ordinals
-    skip hole slots, so the k·j-th token's slot is found by binary
-    search on the running valid count.  Saturates at the end-of-tokens
-    offset like _sync_offsets_batch.
+    Exploits the parse-kernel invariant that a chunk's valid tokens
+    occupy a PREFIX of its ``cap`` slots (ops/pallas_parse walk-emit):
+    the k·j-th token's chunk comes from a searchsorted over the tiny
+    per-chunk counts and its slot is chunk_base + within-chunk rank —
+    no 8M-element valid cumsum, and the width cumsum runs per chunk
+    (axis 2·cap) instead of over the whole field row.  Saturates at
+    the end-of-tokens offset like _sync_offsets_batch.  Falls back to
+    the generic full-cumsum path when ``cap`` is unknown.
     """
     from .deflate_encode import N_HEADER_FIELDS, N_LENGTH_FIELDS
     f0 = N_HEADER_FIELDS + N_LENGTH_FIELDS
-    m = valid.shape[1]
+    bsz, m = valid.shape
     slots = -(-m // k) + 1
-    cum = jnp.cumsum(widths.astype(jnp.int32), axis=1)
-    cv = jnp.cumsum(valid.astype(jnp.int32), axis=1)
-    targets = k * jnp.arange(slots, dtype=jnp.int32) + 1
-    slot_idx = jax.vmap(
-        lambda c: jnp.searchsorted(c, targets, side="left"))(cv)
-    fidx = jnp.clip(f0 + 2 * slot_idx, 1, widths.shape[1])
-    return jnp.take_along_axis(cum, fidx - 1, axis=1)
+    if cap is None or m % cap or widths.shape[1] < f0 + 2 * m:
+        cum = jnp.cumsum(widths.astype(jnp.int32), axis=1)
+        cv = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+        targets = k * jnp.arange(slots, dtype=jnp.int32) + 1
+        slot_idx = jax.vmap(
+            lambda c: jnp.searchsorted(c, targets, side="left"))(cv)
+        fidx = jnp.clip(f0 + 2 * slot_idx, 1, widths.shape[1])
+        return jnp.take_along_axis(cum, fidx - 1, axis=1)
+
+    nc = m // cap
+    w32 = widths.astype(jnp.int32)
+    cnt_c = jnp.sum(valid.reshape(bsz, nc, cap), axis=2,
+                    dtype=jnp.int32)
+    cum_c = jnp.cumsum(cnt_c, axis=1)
+    total = cum_c[:, -1:]
+    t = (k * jnp.arange(slots, dtype=jnp.int32))[None, :]
+    c_j = jax.vmap(
+        lambda cc: jnp.searchsorted(cc, t[0], side="right"))(cum_c)
+    c_j = jnp.minimum(c_j, nc - 1)
+    prev = jnp.where(
+        c_j > 0,
+        jnp.take_along_axis(cum_c, jnp.maximum(c_j - 1, 0), axis=1), 0)
+    r_j = jnp.clip(t - prev, 0, cap)
+
+    wch = w32[:, f0:f0 + 2 * m].reshape(bsz, nc, 2 * cap)
+    cumw = jnp.cumsum(wch, axis=2)
+    chunk_bits = cumw[:, :, -1]
+    hdr = jnp.sum(w32[:, :f0], axis=1, keepdims=True)
+    chunk_start = hdr + jnp.cumsum(chunk_bits, axis=1) - chunk_bits
+    flat = cumw.reshape(bsz, nc * 2 * cap)
+    within = jnp.where(
+        r_j > 0,
+        jnp.take_along_axis(
+            flat,
+            jnp.clip(c_j * 2 * cap + 2 * r_j - 1, 0,
+                     nc * 2 * cap - 1), axis=1), 0)
+    off = jnp.take_along_axis(chunk_start, c_j, axis=1) + within
+    # past-the-end targets saturate at the end-of-tokens offset
+    # (before the trailing EOB field — the generic path's cum at
+    # fidx = f0 + 2m)
+    end = (jnp.sum(w32[:, :f0], axis=1, keepdims=True)
+           + jnp.sum(chunk_bits, axis=1, keepdims=True))
+    return jnp.where(t >= total, end, off)
 
 
 def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
@@ -644,7 +703,8 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                        cap: int | None = None,
                        lazy: bool | None = None,
                        window: int | None = None,
-                       chain: int | None = None):
+                       chain: int | None = None,
+                       lcp_rounds: int | None = None):
     """Shared-table batch encode that also returns the sync index.
 
     Returns (words (B, W), bits (B,), n_tokens (B,), offsets (B, S),
@@ -658,11 +718,13 @@ def _encode_batch_sync(blocks: jnp.ndarray, n_valid: jnp.ndarray,
         a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid,
                                                  lazy=lazy, cap=cap,
                                                  window=window,
-                                                 chain=chain)
+                                                 chain=chain,
+                                                 lcp_rounds=lcp_rounds)
         values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                               valid=valid)
         words, bits = _pack_batch(values, widths)
-        offsets = _sync_offsets_padded(widths, valid, k)
+        cap_eff = valid.shape[1] * 512 // blocks.shape[1]
+        offsets = _sync_offsets_padded(widths, valid, k, cap_eff)
         return words, bits, cnt, offsets, ovf
     a, b, cnt = _tokenize_batch_any(blocks, n_valid)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal)
@@ -707,7 +769,8 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                             cap: int | None = None,
                             lazy: bool | None = None,
                             window: int | None = None,
-                            chain: int | None = None):
+                            chain: int | None = None,
+                            lcp_rounds: int | None = None):
     """Shared-table sync encode via the Pallas pack kernel.
 
     Like _encode_batch_sync_packed but the bit pack runs in
@@ -721,7 +784,8 @@ def _encode_batch_sync_cols(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     """
     a, b, valid, cnt, ovf = _tokenize_padded(blocks, n_valid, lazy=lazy,
                                              cap=cap, window=window,
-                                             chain=chain)
+                                             chain=chain,
+                                             lcp_rounds=lcp_rounds)
     values, widths = _fields_batch_shared(a, b, cnt, bfinal,
                                           valid=valid)
     cols, starts, bits = _pack_chunks_device(values, widths)
@@ -744,7 +808,8 @@ def _sync_cols_tail(blocks, widths, valid, bits, cnt, ovf, starts, k):
     wbad = (jnp.any(widths > 28, axis=1)
             | jnp.any(widths[:, :-1] + widths[:, 1:] > 38, axis=1))
     flags = ovf.astype(jnp.int32) | (wbad.astype(jnp.int32) << 1)
-    offsets = _sync_offsets_padded(widths, valid, k)
+    cap_eff = valid.shape[1] * 512 // blocks.shape[1]
+    offsets = _sync_offsets_padded(widths, valid, k, cap_eff)
     crc_f = crc32_f_rows(blocks)
     return jnp.concatenate(
         [bits.astype(jnp.int32)[:, None],
@@ -758,7 +823,8 @@ def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
                               cap: int | None = None,
                               lazy: bool | None = None,
                               window: int | None = None,
-                              chain: int | None = None):
+                              chain: int | None = None,
+                              lcp_rounds: int | None = None):
     """_encode_batch_sync + fused member CRCs, small outputs packed.
 
     Returns (words (B, W) uint32, small (B, 4+S) int32) with small rows
@@ -771,7 +837,7 @@ def _encode_batch_sync_packed(blocks: jnp.ndarray, n_valid: jnp.ndarray,
     from .checksum import crc32_f_rows
     words, bits, cnt, offsets, ovf = _encode_batch_sync(
         blocks, n_valid, bfinal, k, cap, lazy=lazy, window=window,
-        chain=chain)
+        chain=chain, lcp_rounds=lcp_rounds)
     crc_f = crc32_f_rows(blocks)
     return words, _pack_small(bits, cnt, crc_f, ovf, offsets)
 

@@ -36,8 +36,13 @@ from .pallas_sort import sort_multi, sort_pairs
 
 #: sorted neighbors examined per position (the effective chain depth)
 SCAN_K = 8
-#: exact shared-length bound from the carried prefix words
-M_EXACT = 12
+#: exact shared-length bound from the carried prefix words; each +4
+#: beyond 12 carries one more word through the sort (+~1.8 ms / 8 MiB)
+#: and lets the LCP kernel start that much later — at 16 the encode
+#: default SKIPS the LCP kernel entirely (lengths cap at 16; ratio
+#: 0.3207 vs 0.3150 uncapped on the bench corpus, vs the reference
+#: greedy class's 0.3290)
+M_EXACT = 16
 
 
 def _w4be(dd: jnp.ndarray, o: int, n: int) -> jnp.ndarray:
@@ -54,38 +59,40 @@ def _lead_bytes(x: jnp.ndarray) -> jnp.ndarray:
                             jnp.where(x & 0xFF00, 2, 3))))
 
 
-@functools.partial(jax.jit, static_argnames=("window", "scan_k"))
+@functools.partial(jax.jit,
+                   static_argnames=("window", "scan_k", "m_exact"))
 def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
-                    scan_k: int = SCAN_K):
+                    scan_k: int = SCAN_K, m_exact: int = M_EXACT):
     """(B, n) uint8 member bytes -> (cand, m) both (B, n) int32.
 
     cand[p]: best earlier position within ``window`` scored by
-    (exact shared-prefix length up to 12) major, nearness minor;
-    -1 if none shares >= 3 bytes.
-    m[p]: the EXACT shared-prefix length with cand, clipped to 12 —
-    a length-12 value may extend further (the LCP kernel's job,
-    rounds >= 3).
+    (exact shared-prefix length up to ``m_exact``) major, nearness
+    minor; -1 if none shares >= 3 bytes.
+    m[p]: the EXACT shared-prefix length with cand, clipped to
+    ``m_exact`` — a value == m_exact may extend further (the LCP
+    kernel's job, rounds >= m_exact // 4).
     """
     bsz, n = blocks.shape
     n_pad = 1 << (n - 1).bit_length()
     assert n_pad <= 1 << 16, "unsort packing holds 16-bit positions"
+    assert m_exact % 4 == 0 and 12 <= m_exact <= 24
 
     d = blocks.astype(jnp.uint32)
-    pad = jnp.zeros((bsz, 11), jnp.uint32)
+    pad = jnp.zeros((bsz, m_exact + 7), jnp.uint32)
     dd = jnp.concatenate([d, pad], axis=1)
     w4be = _w4be(dd, 0, n)
     key = (w4be ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-    w8 = _w4be(dd, 4, n).astype(jnp.int32)
-    w12 = _w4be(dd, 8, n).astype(jnp.int32)
+    # carried words w4[p+4], w4[p+8], ... up to the exact bound
+    ws = [_w4be(dd, o, n).astype(jnp.int32)
+          for o in range(4, m_exact, 4)]
     if n_pad != n:  # padding sorts last and is filtered by dist > 0
         key = jnp.pad(key, ((0, 0), (0, n_pad - n)),
                       constant_values=jnp.int32(2 ** 31 - 1))
-        w8 = jnp.pad(w8, ((0, 0), (0, n_pad - n)))
-        w12 = jnp.pad(w12, ((0, 0), (0, n_pad - n)))
+        ws = [jnp.pad(w, ((0, 0), (0, n_pad - n))) for w in ws]
     pos = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[None, :],
                            (bsz, n_pad))
 
-    ks, ps, w8s, w12s = sort_multi(key, pos, w8, w12, tiebreak=True)
+    ks, ps, *wss = sort_multi(key, pos, *ws, tiebreak=True)
 
     best_score = jnp.full((bsz, n_pad), -1, jnp.int32)
     best_cand = jnp.full((bsz, n_pad), -1, jnp.int32)
@@ -97,12 +104,13 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
         pp = shift(ps, 1 << 20)
         x = ks ^ kk
         lcp = _lead_bytes(x)
-        # exact extension to 8 then 12 from the carried words (BE, so
-        # the leading XOR byte is the first differing byte)
-        x8 = w8s ^ shift(w8s, 0)
-        x12 = w12s ^ shift(w12s, 0)
-        lcp = jnp.where(x == 0, 4 + _lead_bytes(x8), lcp)
-        lcp = jnp.where((x == 0) & (x8 == 0), 8 + _lead_bytes(x12), lcp)
+        # exact extension 4 bytes per carried word (BE, so the leading
+        # XOR byte is the first differing byte)
+        all_eq = x == 0
+        for i, w in enumerate(wss):
+            xi = w ^ shift(w, 0)
+            lcp = jnp.where(all_eq, 4 * (i + 1) + _lead_bytes(xi), lcp)
+            all_eq = all_eq & (xi == 0)
         dist = ps - pp
         ok = (dist > 0) & (dist <= window) & (lcp >= 3)
         score = (lcp << 17) + (window - dist)
@@ -131,5 +139,5 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
     ext_o = ((u >> 15) & 1).astype(jnp.int32)
     none = (ext_o == 0) & (dist_o == 0x7FFF)
     cand = jnp.where(none, -1, pos_o - dist_o - 1)
-    m = jnp.where(none, 0, jnp.minimum(m_o, M_EXACT))
+    m = jnp.where(none, 0, jnp.minimum(m_o, m_exact))
     return cand[:, :n], m[:, :n]

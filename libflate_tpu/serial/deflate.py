@@ -46,6 +46,13 @@ class EncodeOptions:
     #: device-only: token-slot budget per 512-position parse chunk
     #: (ops/pipeline.PARSE_CAP when None); the serial matchers ignore it
     parse_cap: int | None = None
+    #: device-only: total LCP extension rounds (match length cap =
+    #: 4*rounds).  None = the device default: with the sort matcher's
+    #: exact 16-byte lengths the LCP kernel is SKIPPED entirely
+    #: (lengths cap at 16; dist-1 runs stay exact by arithmetic);
+    #: set e.g. 6 to extend matches to 24 bytes for ~0.5% better ratio
+    #: at ~+15% device encode time.  The serial matchers ignore it.
+    lcp_rounds: int | None = None
 
     def tokenize(self, data: bytes) -> list[Token]:
         if self.matcher == "none":
