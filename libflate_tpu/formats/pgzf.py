@@ -768,9 +768,12 @@ def decompress_to_device(data: bytes, verify: bool = False):
         groups = _prepare_sync_device(data)
     except ImportError:
         refs = index_members(data)
-        if refs is None:
-            raise
-        return _spec_to_device(data, refs, verify)
+        if refs is not None:
+            try:
+                return _spec_to_device(data, refs, verify)
+            except ImportError:
+                pass
+        return _foreign_to_device(data, verify, refs)
     plains, lens = [], []
     for prep in groups:
         plain, n_out, err, crc_f = _run_sync_chain(prep)
@@ -794,6 +797,114 @@ def decompress_to_device(data: bytes, verify: bool = False):
               for p in plains]
     return (jnp.concatenate(plains, axis=0),
             jnp.asarray(np.concatenate(lens), jnp.int32))
+
+
+#: largest foreign member the device expansion takes (src/lit VMEM
+#: footprint is 8 B/position per grid program); bigger members fall
+#: back to the host engines
+_FOREIGN_MEMBER_CAP = 1 << 20
+
+
+def _foreign_to_device(data: bytes, verify: bool,
+                       refs: list[MemberRef] | None = None):
+    """decompress_to_device tail for FOREIGN streams — members with
+    their own per-member dynamic (or fixed/stored) tables, no LF/LS
+    index, any producer (stdlib gzip, zlib CLI, pigz...).
+
+    Per-member tables cannot ride the shared-table TPU symbol kernels
+    (a per-lane table lookup sweeps 4-16x more vreg groups than the
+    shared broadcast — measured out in round 5), so the sequential
+    entropy phase runs in the threaded C engine as a TOKEN decode
+    (native.inflate_tokens_batch — no byte materialization), and
+    everything after the symbols — LZ77 expansion, CRC — runs in the
+    same fused device chain as the sync path (ops/device_expand).
+    Covers the reference's arbitrary-stream decode capability
+    (src/deflate/decode.rs:136-164) with device-resident output.
+    """
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..ops.checksum import crc32_f_rows, crc32_from_padded_f
+    from ..ops.device_expand import expand_members
+    from ..serial.deflate import DeflateError
+    from .gzip import GzipError
+
+    if not native.available():
+        raise ImportError("foreign device decode needs the C engine")
+
+    if refs is not None:
+        # indexed stream whose tables can't ride the shared kernels:
+        # extents are known, so the token decode runs THREADED
+        sizes, crcs_expected = [], []
+        for ref in refs:
+            c, s = struct.unpack_from("<II", data, ref.end - 8)
+            sizes.append(s)
+            crcs_expected.append(c)
+        if max(sizes, default=0) > _FOREIGN_MEMBER_CAP:
+            raise ImportError("foreign member too large for the "
+                              "device expansion footprint")
+        t_cap = max(1024, -(-max(max(sizes), 1) // 1024) * 1024)
+        packed, counts, osz = native.inflate_tokens_batch(
+            data, [r.body for r in refs], [r.end - 8 for r in refs],
+            t_cap)
+        if (osz.astype(np.int64) != np.asarray(sizes)).any():
+            raise GzipError("gzip ISIZE mismatch")
+        nt = counts.astype(np.int32)
+        bsz = len(refs)
+    else:
+        # un-indexed: extents come from the token decoder's end bit
+        # (sequential, but it IS the decode)
+        sizes, crcs_expected, toks_l = [], [], []
+        pos = 0
+        while pos < len(data):
+            hdr, body = fgzip.Header.decode(data, pos)
+            cap = 1 << 17
+            while True:
+                r = native.inflate_tokens(data, body, cap)
+                if r is not None:
+                    break
+                cap *= 4
+                if cap > (len(data) - body) * 9 + 4096:
+                    raise DeflateError("token decode cap overrun")
+            toks, osize, eb = r
+            end_byte = body + (eb + 7) // 8
+            if end_byte + 8 > len(data):
+                raise GzipError(
+                    "truncated gzip member (missing trailer)")
+            crc_exp, isize = struct.unpack_from("<II", data, end_byte)
+            if isize != (osize & 0xFFFFFFFF):
+                raise GzipError(
+                    f"gzip ISIZE mismatch in member {len(sizes)}")
+            if osize > _FOREIGN_MEMBER_CAP:
+                raise ImportError("foreign member too large for the "
+                                  "device expansion footprint")
+            sizes.append(osize)
+            crcs_expected.append(crc_exp)
+            toks_l.append(toks)
+            pos = end_byte + 8
+        if not toks_l:
+            raise ImportError("empty stream")
+        t_cap = max(1024, -(-max(len(t) for t in toks_l) // 1024) * 1024)
+        bsz = len(toks_l)
+        packed = np.zeros((bsz, t_cap), np.int32)
+        nt = np.zeros((bsz,), np.int32)
+        for i, t in enumerate(toks_l):
+            packed[i, :len(t)] = t
+            nt[i] = len(t)
+
+    out_cap = 1 << max(10, (max(max(sizes), 1) - 1).bit_length())
+    plain, n_out, err = expand_members(jnp.asarray(packed),
+                                       jnp.asarray(nt), out_cap)
+    if bool(np.asarray(err).any()):
+        raise DeflateError("bad back-reference in device expansion")
+    if verify:
+        crcs = crc32_from_padded_f(
+            np.asarray(crc32_f_rows(plain)),
+            np.asarray(sizes, np.int64), out_cap)
+        for i in range(bsz):
+            if int(crcs[i]) != int(crcs_expected[i]):
+                raise GzipError(f"gzip CRC mismatch in member {i}")
+    return plain, jnp.asarray(np.asarray(sizes), jnp.int32)
 
 
 def _spec_to_device(data: bytes, refs: list[MemberRef], verify: bool):
@@ -995,6 +1106,38 @@ def _sync_to_plain_jit():
     return _sync_to_plain_jit._fn
 
 
+def _spec_fused_jit():
+    """The whole speculative token pipeline under ONE jit: position
+    kernel → chunk-exit maps → entry threading → walk-emit →
+    compaction.  Each separate call used to pay the ~28 ms axon
+    dispatch floor (docs/ROADMAP.md); one fused graph pays it once —
+    warm spec fallback 0.33 s → ~0.15 s per 8 MiB."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if not hasattr(_spec_fused_jit, "_fn"):
+        @functools.partial(jax.jit, static_argnames=("out_cap",))
+        def _fn(words, lit_t, dist_t, starts_g, out_cap):
+            from ..ops.deflate_decode import (chain_entries,
+                                              tokens_from_emit_packed)
+            from ..ops.pallas_decode import (chunk_exit_maps,
+                                             speculative_decode_positions,
+                                             walk_emit)
+            tok, nxt = speculative_decode_positions(words, lit_t,
+                                                    dist_t)
+            exits = chunk_exit_maps(nxt)         # (1, P, 128)
+            exits_s = jnp.transpose(exits[0])
+            entries = jax.vmap(chain_entries)(exits_s, starts_g)
+            emit = walk_emit(nxt, tok,
+                             jnp.transpose(entries)[None, :, :])
+            return tokens_from_emit_packed(emit[0], out_cap + 2)
+
+        _spec_fused_jit._fn = _fn
+    return _spec_fused_jit._fn
+
+
 def _spec_token_groups(data: bytes, refs: list[MemberRef]):
     """Speculative shared-table decode to DEVICE TOKENS, per group of
     128 members: position kernel → chunk-exit maps → entry threading →
@@ -1010,7 +1153,7 @@ def _spec_token_groups(data: bytes, refs: list[MemberRef]):
 
     from .. import native
     from ..ops.huffman import decode_table
-    from ..ops.pallas_decode import LANES, speculative_decode_positions
+    from ..ops.pallas_decode import LANES
     from ..serial.deflate import DeflateError
 
     if jax.default_backend() == "cpu":
@@ -1058,22 +1201,13 @@ def _spec_token_groups(data: bytes, refs: list[MemberRef]):
             arr = np.frombuffer(body + b"\x00" * ((-len(body)) % 4),
                                 np.uint8).view("<u4")
             words[0, :len(arr), k] = arr
-        tok, nxt = speculative_decode_positions(
-            jnp.asarray(words), lit_t.astype(jnp.int32),
-            dist_t.astype(jnp.int32))
-        from ..ops.deflate_decode import (chain_entries,
-                                          tokens_from_emit_packed)
-        from ..ops.pallas_decode import chunk_exit_maps, walk_emit
-        exits = chunk_exit_maps(nxt)             # (1, P, 128)
-        exits_s = jnp.transpose(exits[0])
         starts_g = np.zeros((LANES,), np.int32)
         for k, i in enumerate(group):
             starts_g[k] = int(starts64[i])
-        entries = jax.vmap(chain_entries)(exits_s,
-                                          jnp.asarray(starts_g))
-        emit = walk_emit(nxt, tok,
-                         jnp.transpose(entries)[None, :, :])
-        packed, nt, err = tokens_from_emit_packed(emit[0], out_cap + 2)
+        packed, nt, err = _spec_fused_jit()(
+            jnp.asarray(words), lit_t.astype(jnp.int32),
+            dist_t.astype(jnp.int32), jnp.asarray(starts_g),
+            out_cap)
         err_np = np.asarray(err)
         for k, i in enumerate(group):
             if err_np[k]:

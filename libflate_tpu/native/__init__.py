@@ -101,6 +101,14 @@ def load():
         lib.lf_expand_batch.argtypes = [i32p, i32p, ctypes.c_int64, i64p,
                                         ctypes.c_int32, u8p, u64p, u32p,
                                         ctypes.c_int32, ctypes.c_int32]
+        lib.lf_inflate_tokens_batch.restype = ctypes.c_int
+        lib.lf_inflate_tokens_batch.argtypes = [
+            u8p, u64p, u64p, ctypes.c_int32, i32p, ctypes.c_int64,
+            i64p, u64p, ctypes.c_int32]
+        lib.lf_inflate_tokens.restype = ctypes.c_int
+        lib.lf_inflate_tokens.argtypes = [u8p, ctypes.c_uint64, i32p,
+                                          ctypes.c_int64, i64p, u64p,
+                                          u64p]
         lib.lf_deflate_batch.restype = ctypes.c_int
         lib.lf_deflate_batch.argtypes = [u8p, u64p, ctypes.c_int32, u8p,
                                          ctypes.c_uint64, u64p, u32p,
@@ -297,6 +305,66 @@ def inflate_batch_at(data: bytes, body_starts: np.ndarray,
     if rc < 0:
         raise DeflateError(f"decode failed in member {-rc - 1}")
     return out[: int(out_offs[-1])].tobytes(), crcs
+
+
+def inflate_tokens_batch(data: bytes, body_starts, body_ends,
+                         token_cap: int, n_threads: int = 0):
+    """Decode member bodies into packed LZ77 tokens (no expansion).
+
+    The foreign-stream device-decode bridge: per-member dynamic (or
+    fixed/stored) blocks whose tables cannot ride the shared-table TPU
+    kernels are entropy-decoded here — the sequential phase — and the
+    tokens feed the device expansion + CRC chain
+    (formats/pgzf._foreign_to_device).
+
+    Returns (toks (B, token_cap) int32 packed a | b << 9,
+    counts (B,) int64, out_sizes (B,) uint64).
+    """
+    from ..serial.deflate import DeflateError
+    lib = load()
+    b = len(body_starts)
+    buf = np.frombuffer(bytes(data), np.uint8)
+    starts = np.ascontiguousarray(body_starts, np.uint64)
+    ends = np.ascontiguousarray(body_ends, np.uint64)
+    toks = np.empty((b, token_cap), np.int32)
+    counts = np.zeros(b, np.int64)
+    osz = np.zeros(b, np.uint64)
+    rc = lib.lf_inflate_tokens_batch(
+        _as_u8p(buf),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        b, toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        token_cap,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        osz.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n_threads)
+    if rc < 0:
+        raise DeflateError(f"token decode failed in member {-rc - 1}")
+    return toks, counts, osz
+
+
+def inflate_tokens(data: bytes, start: int, token_cap: int):
+    """Decode ONE member body (starting at byte ``start``) to packed
+    tokens, reporting the end bit so callers can walk un-indexed
+    multi-member streams.  Returns (toks (n,) int32, out_size, end_bit)
+    or None when ``token_cap`` was too small (grow and retry)."""
+    from ..serial.deflate import DeflateError
+    lib = load()
+    buf = np.frombuffer(bytes(data), np.uint8)
+    toks = np.empty(token_cap, np.int32)
+    tn = np.zeros(1, np.int64)
+    osz = np.zeros(1, np.uint64)
+    eb = np.zeros(1, np.uint64)
+    rc = lib.lf_inflate_tokens(
+        _as_u8p(buf[start:]), len(data) - start,
+        toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), token_cap,
+        tn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        osz.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if rc == -8:
+        return None
+    if rc < 0:
+        raise DeflateError(f"token decode failed (rc {rc})")
+    return toks[:int(tn[0])], int(osz[0]), int(eb[0])
 
 
 def deflate_batch(data: bytes, chunk_offsets: np.ndarray,

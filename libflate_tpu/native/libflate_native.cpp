@@ -1766,6 +1766,177 @@ int lf_deflate_batch(const uint8_t* data, const uint64_t* chunk_offsets,
 // counts: tokens per member; out slots at out_offsets; crcs optional.
 // packed: when nonzero, `a` holds packed tokens (a | b<<9) and `b` is
 // ignored — halves the device->host transfer feeding this stage.
+// ---------------------------------------------------------------------------
+// Token-emitting inflate (FOREIGN-stream device-decode bridge).
+// Decodes a full member body — any conformant mix of stored / fixed /
+// per-member dynamic blocks, i.e. streams whose tables can NOT ride the
+// shared-table TPU kernels — into packed LZ77 tokens
+// (lit, or len | dist << 9; ops/device_expand packing) WITHOUT
+// materializing output bytes.  The host does only the sequential
+// entropy phase; expansion + CRC run in the device chain
+// (formats/pgzf._foreign_to_device).  Reference capability being
+// covered: src/deflate/decode.rs:136-164 (arbitrary per-block tables).
+// ---------------------------------------------------------------------------
+static int inflate_tokens_one(const uint8_t* src, uint64_t n,
+                              int32_t* toks, int64_t tcap,
+                              int64_t* tn_out, uint64_t* osize_out,
+                              uint64_t* end_bit = nullptr) {
+    BitIn b; bi_init(&b, src, n, 0);
+    uint64_t o = 0;                    // decoded byte count (validation)
+    int64_t t = 0;
+    static thread_local uint32_t lit_table[1 << 15];
+    static thread_local uint32_t dist_table[1 << 15];
+    for (;;) {
+        int final_ = bi_read(&b, 1);
+        int btype = bi_read(&b, 2);
+        if (b.overrun) return -1;
+        if (btype == 0) {
+            bi_align(&b);
+            uint32_t len = bi_read(&b, 16);
+            uint32_t nlen = bi_read(&b, 16);
+            if (b.overrun) return -1;
+            if (len != (nlen ^ 0xFFFFu)) return -7;
+            if (t + (int64_t)len > tcap) return -8;
+            while (b.nbits >= 8 && len) {
+                toks[t++] = (int32_t)(b.acc & 0xFF);
+                b.acc >>= 8; b.nbits -= 8; len--; o++;
+            }
+            b.acc &= (1ull << b.nbits) - 1;
+            if (b.pos + len > b.size) return -1;
+            for (uint32_t k = 0; k < len; k++)
+                toks[t++] = (int32_t)b.data[b.pos + k];
+            o += len; b.pos += len;
+        } else if (btype == 3) {
+            return -9;
+        } else {
+            bool ok;
+            int lit_bits = 15, dist_bits = 15;
+            if (btype == 1) {
+                int32_t ll[288], dl[30];
+                fixed_lit_lengths(ll);
+                for (int i = 0; i < 30; i++) dl[i] = 5;
+                lit_bits = 9; dist_bits = 5;
+                ok = build_table32(ll, 288, lit_table, lit_bits, false)
+                  && build_table32(dl, 30, dist_table, dist_bits, true);
+            } else {
+                int32_t ll[286], dl[30];
+                int rc = parse_dyn_header(&b, ll, dl);
+                if (rc) return rc;
+                bool any_dist = false;
+                for (int i = 0; i < 30; i++) any_dist |= dl[i] != 0;
+                ok = build_table_auto(ll, 286, lit_table, 10, false,
+                                      &lit_bits);
+                if (ok) {
+                    if (any_dist)
+                        ok = build_table_auto(dl, 30, dist_table, 9, true,
+                                              &dist_bits);
+                    else {
+                        dist_bits = 1;
+                        memset(dist_table, 0, sizeof(uint32_t) << 1);
+                    }
+                }
+            }
+            if (!ok) return -3;
+            const uint32_t lit_mask = (1u << lit_bits) - 1;
+            const uint32_t dist_mask = (1u << dist_bits) - 1;
+            for (;;) {
+                bi_fill(&b);
+                uint32_t e = lit_table[(uint32_t)b.acc & lit_mask];
+                if (!e) return -3;
+                int w = e & 31;
+                if (b.nbits < w) return -1;
+                b.acc >>= w; b.nbits -= w;
+                if (e & 0x20u) {       // two-level: long literal code
+                    uint32_t sb_ = (e >> 8) & 15u;
+                    e = lit_table[(e >> 16) +
+                                  ((uint32_t)b.acc & ((1u << sb_) - 1))];
+                    if (!e) return -3;
+                    w = e & 31;
+                    if (b.nbits < w) return -1;
+                    b.acc >>= w; b.nbits -= w;
+                }
+                if ((int32_t)e < 0) {
+                    if (t >= tcap) return -8;
+                    toks[t++] = (int32_t)((e >> 16) & 0xFF); o++;
+                } else if (e & 0x40000000u) {
+                    break;             // end of block
+                } else if (e & 0x20000000u) {
+                    return -10;
+                } else {
+                    uint32_t le = (e >> 8) & 15;
+                    uint32_t length = (e >> 16) +
+                        ((uint32_t)b.acc & ((1u << le) - 1));
+                    b.acc >>= le; b.nbits -= le;
+                    uint32_t de = dist_table[(uint32_t)b.acc & dist_mask];
+                    if (!de) return -3;
+                    int dw = de & 31;
+                    b.acc >>= dw; b.nbits -= dw;
+                    if (de & 0x20u) {  // two-level: long distance code
+                        uint32_t sb_ = (de >> 8) & 15u;
+                        de = dist_table[(de >> 16) +
+                                        ((uint32_t)b.acc
+                                         & ((1u << sb_) - 1))];
+                        if (!de) return -3;
+                        dw = de & 31;
+                        b.acc >>= dw; b.nbits -= dw;
+                    }
+                    uint32_t dxe = (de >> 8) & 15;
+                    uint32_t dist = (de >> 16) +
+                        ((uint32_t)b.acc & ((1u << dxe) - 1));
+                    b.acc >>= dxe; b.nbits -= dxe;
+                    if (b.nbits < 0) return -1;
+                    if (dist > o) return -12;
+                    if (t >= tcap) return -8;
+                    toks[t++] = (int32_t)(length | (dist << 9));
+                    o += length;
+                }
+            }
+        }
+        if (final_) break;
+    }
+    *tn_out = t;
+    *osize_out = o;
+    if (end_bit) *end_bit = bi_bitpos(&b);
+    return 0;
+}
+
+// Single-member token decode reporting the end bit — the foreign
+// multi-member walk discovers each member's extent from it (no LF
+// index on foreign streams).
+int lf_inflate_tokens(const uint8_t* src, uint64_t n, int32_t* toks,
+                      int64_t tcap, int64_t* tn_out,
+                      uint64_t* osize_out, uint64_t* end_bit) {
+    return inflate_tokens_one(src, n, toks, tcap, tn_out, osize_out,
+                              end_bit);
+}
+
+int lf_inflate_tokens_batch(const uint8_t* base, const uint64_t* starts,
+                            const uint64_t* ends, int32_t batch,
+                            int32_t* toks, int64_t tstride,
+                            int64_t* tn, uint64_t* osz,
+                            int32_t n_threads) {
+    std::atomic<int32_t> next{0};
+    std::atomic<int32_t> bad{-1};
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= batch || bad.load() >= 0) return;
+            int rc = inflate_tokens_one(
+                base + starts[i], ends[i] - starts[i],
+                toks + (int64_t)i * tstride, tstride, &tn[i], &osz[i]);
+            if (rc != 0) { bad.store(i); return; }
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    return bad.load() >= 0 ? -(bad.load() + 1) : 0;
+}
+
 int lf_expand_batch(const int32_t* a, const int32_t* b, int64_t stride,
                     const int64_t* counts, int32_t batch, uint8_t* out,
                     const uint64_t* out_offsets, uint32_t* crcs,
