@@ -75,9 +75,9 @@ def main():
         dist_l = np.zeros((1, 30), np.int32)
         max_nc = max(1, int(-(-cnt.max() // K)))
         c_n = bsz * max_nc
-        dec_words = None
         ch_bits = np.zeros((c_n,), np.int32)
         ch_cnts = np.zeros((c_n,), np.int32)
+        bodies = []
         for i in range(bsz):
             body = splice_blocks_host(words[i:i + 1], bits[i:i + 1])
             r = BitReader(body)
@@ -85,12 +85,13 @@ def main():
             ll, dl = read_dynamic_header_lengths(r)
             if i == 0:
                 lit_l[0], dist_l[0] = ll, dl
-            arr = np.frombuffer(
-                body + b"\x00" * ((-len(body)) % 4), np.uint8)
-            if dec_words is None:
-                dec_words = np.zeros((bsz, len(arr) // 4 + 64),
-                                     np.uint32)
-            dec_words[i, :len(arr) // 4] = arr.view("<u4")
+            bodies.append(np.frombuffer(
+                body + b"\x00" * ((-len(body)) % 4),
+                np.uint8).view("<u4"))
+        w_max = max(len(a) for a in bodies) + 64
+        dec_words = np.zeros((bsz, w_max), np.uint32)
+        for i, arr in enumerate(bodies):
+            dec_words[i, :len(arr)] = arr
             for j in range(max_nc):
                 ch_bits[i * max_nc + j] = offs[i, min(
                     j, offs.shape[1] - 1)]

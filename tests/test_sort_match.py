@@ -43,14 +43,18 @@ def test_sort_pairs_tiebreak_orders_payload(interpret):
 
 
 def test_sort_multi_carries_payloads(interpret):
+    # n=1024 (phase A only): the interpreted multi-payload network at
+    # n>=2048 costs ~10 min of XLA:CPU compile; the cross-vreg phases
+    # are covered by test_sort_pairs_matches_numpy at n=4096 and by the
+    # TPU-side round-trip checks
     from libflate_tpu.ops.pallas_sort import sort_multi
 
     rng = np.random.default_rng(5)
-    k = rng.integers(0, 50, (2, 2048), dtype=np.int64).astype(np.int32)
-    p0 = np.arange(2048, dtype=np.int32)[None].repeat(2, 0)
-    p1 = rng.integers(-2 ** 31, 2 ** 31, (2, 2048),
+    k = rng.integers(0, 50, (2, 1024), dtype=np.int64).astype(np.int32)
+    p0 = np.arange(1024, dtype=np.int32)[None].repeat(2, 0)
+    p1 = rng.integers(-2 ** 31, 2 ** 31, (2, 1024),
                       dtype=np.int64).astype(np.int32)
-    p2 = rng.integers(-2 ** 31, 2 ** 31, (2, 2048),
+    p2 = rng.integers(-2 ** 31, 2 ** 31, (2, 1024),
                       dtype=np.int64).astype(np.int32)
     ks, q0, q1, q2 = map(np.asarray, sort_multi(
         jnp.asarray(k), jnp.asarray(p0), jnp.asarray(p1),
@@ -67,7 +71,7 @@ def test_sort_candidates_vs_bruteforce(interpret):
     from libflate_tpu.ops.sort_match import M_EXACT, sort_candidates
 
     rng = np.random.default_rng(3)
-    n, window = 2048, 512
+    n, window = 1024, 512
     words = [bytes(rng.integers(97, 103, rng.integers(3, 8),
                                 dtype=np.uint8)) for _ in range(30)]
     data = b"".join(words[int(i)] for i in rng.zipf(1.3, 1200) % 30)[:n]
