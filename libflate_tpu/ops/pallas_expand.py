@@ -74,6 +74,13 @@ def _vgather(val: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
 def _resolve_kernel(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                     n_super: int, skip: tuple = (),
                     far_mode: str = "uband"):
+    _resolve_loop(cnt_ref, lst_ref, src_refs, lit_refs, out_refs,
+                  n_super=n_super, skip=skip, far_mode=far_mode)
+
+
+def _resolve_loop(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
+                  n_super: int, skip: tuple = (),
+                  far_mode: str = "uband"):
     # ``skip`` is an ablation knob for profiling scripts ONLY — it is a
     # static jit argument (so it participates in the cache key), never
     # read from the environment inside production traces.

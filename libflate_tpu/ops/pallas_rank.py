@@ -54,21 +54,18 @@ def _sel16(w0, w1, rsel):
     return jnp.where(rsel < SUB, lo, hi)
 
 
-def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
-                 n_vregs: int, ilp: int = 2, emit: str = "fields",
-                 nout_ref=None, out_cap: int = 0):
+def _rank_one(v, cex_at, lo_at, st_ref, pk_ref, emit, nout, out_cap):
+    """One out-vreg's rank + gather (+ fused mod-collapse when emit ==
+    "src").  ``cex_at(i)`` / ``lo_at(v)`` read the member's SMEM rows;
+    callers interleave several of these per loop iteration — the fine
+    search is a mostly-dependent shuffle chain, so independent vregs
+    overlap it (the bitonic phase-A lesson).  Shared by _rank_kernel
+    and the fused rank+resolve kernel (ops/pallas_expand)."""
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
     zeros = jnp.zeros((SUB, LANES), jnp.int32)
-    while n_vregs % ilp:          # largest power-of-two divisor <= ilp
-        ilp //= 2
-
-    def one(v):
-        """Emit the deferred store closures for out-vreg v (callers
-        interleave ``ilp`` of these per loop iteration — the fine
-        search is a mostly-dependent shuffle chain, so independent
-        vregs overlap it; the bitonic phase-A lesson)."""
-        lo = lo_ref[0, v, 0]
+    if True:
+        lo = lo_at(v)
         w0 = st_ref[pl.ds(lo, SUB), :]
         w1 = st_ref[pl.ds(lo + SUB, SUB), :]
         p0 = pk_ref[pl.ds(lo, SUB), :]
@@ -76,7 +73,7 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
 
         cexv = zeros
         for j in range(SUB):
-            cexv = jnp.where(iota_s == j, cex_ref[0, v * SUB + j, 0],
+            cexv = jnp.where(iota_s == j, cex_at(v * SUB + j),
                              cexv)
         offs = cexv - lo * LANES              # row-constant, >= 1
 
@@ -146,13 +143,25 @@ def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
         r = r - jnp.where(r >= dm, dm, 0)
         src = jnp.where(is_lit, p, r + o_s - d)
         lit = jnp.where(is_lit, av & 255, 0)
-        live = p < nout_ref[0, 0, 0]
+        live = p < nout
         src = jnp.where(live, jnp.clip(src, 0, out_cap - 1), p)
         lit = jnp.where(live, lit, 0)
         return src, lit
 
+
+def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
+                 n_vregs: int, ilp: int = 2, emit: str = "fields",
+                 nout_ref=None, out_cap: int = 0):
+    while n_vregs % ilp:          # largest power-of-two divisor <= ilp
+        ilp //= 2
+    nout = nout_ref[0, 0, 0] if nout_ref is not None else 0
+
     def vreg(i, _):
-        outs = [one(i * ilp + j) for j in range(ilp)]
+        outs = [_rank_one(i * ilp + j,
+                          lambda k: cex_ref[0, k, 0],
+                          lambda v: lo_ref[0, v, 0],
+                          st_ref, pk_ref, emit, nout, out_cap)
+                for j in range(ilp)]
         for j, (o_s, o_p) in enumerate(outs):
             os_ref[pl.ds((i * ilp + j) * SUB, SUB), :] = o_s
             op_ref[pl.ds((i * ilp + j) * SUB, SUB), :] = o_p
