@@ -140,21 +140,29 @@ _WALK_SLICES = 8
 _STEPS = CHUNK // _WALK_SLICES       # 64 steps per guarded slice
 
 
-def _walk_kernel(cap, jump_ref, tok_ref, ent_ref, out_ref, ovf_ref,
-                 cur_ref, emit_ref):
+def _walk_kernel(cap, n_c, jump_ref, tok_ref, ent_ref, out_ref,
+                 ovf_ref, cur_ref, emit_ref):
+    # n_c chunks walk per grid program: each chunk's step loop is a
+    # serially dependent cursor chain (gather -> next cursor), but the
+    # chunks are independent and interleave for ILP (the member-
+    # interleave lesson from the resolve/stitch kernels)
     j = pl.program_id(0)
-    base = j * CHUNK
+    bases = [(j * n_c + c) * CHUNK for c in range(n_c)]
     neg = jnp.full((SUB, LANES), -1, jnp.int32)
-    for r in range(_TILES):
+    for r in range(n_c * _TILES):
         emit_ref[pl.ds(r * SUB, SUB), :] = neg
 
     cur_ref[:] = ent_ref[0]
-    jmp = jump_ref[:]
-    tk = tok_ref[:]
+    jks = [jump_ref[pl.ds(c * CHUNK, CHUNK), :] for c in range(n_c)]
+    tks = [tok_ref[pl.ds(c * CHUNK, CHUNK), :] for c in range(n_c)]
 
     for sl in range(_WALK_SLICES):
         cur0 = cur_ref[:]
-        alive = jnp.any((cur0 >= base) & (cur0 < base + CHUNK))
+        alive = jnp.zeros((), jnp.bool_)
+        for c in range(n_c):
+            cc = cur0[c:c + 1, :]
+            alive = alive | jnp.any((cc >= bases[c])
+                                    & (cc < bases[c] + CHUNK))
 
         @pl.when(alive)
         def _walk(sl=sl):
@@ -162,28 +170,39 @@ def _walk_kernel(cap, jump_ref, tok_ref, ent_ref, out_ref, ovf_ref,
             # 64*sl walk steps every in-chunk cursor sits at local
             # >= 64*sl — the gathers statically skip groups below
             # 8*sl (a skipped slice implies every lane already left
-            # the chunk, so later slices' bounds still hold)
+            # the chunk, so later slices' bounds still hold; the
+            # union alive gate only ADDS steps, never skips live ones)
             fg = sl * (_STEPS // SUB)
 
-            def step(i, c):
-                in_chunk = (c >= base) & (c < base + CHUNK)
-                local = jnp.clip(c - base, 0, CHUNK - 1)
-                tv = _gather512(tk, local, first_group=fg)
-                nv = _gather512(jmp, local, first_group=fg)
-                emit_ref[pl.ds(sl * _STEPS + i, 1), :] = jnp.where(
-                    in_chunk, tv, -1)
-                return jnp.where(in_chunk, nv, c)
+            def step(i, cs):
+                outs = []
+                for c in range(n_c):
+                    cc = cs[c:c + 1, :]
+                    in_chunk = ((cc >= bases[c])
+                                & (cc < bases[c] + CHUNK))
+                    local = jnp.clip(cc - bases[c], 0, CHUNK - 1)
+                    tv = _gather512(tks[c], local, first_group=fg)
+                    nv = _gather512(jks[c], local, first_group=fg)
+                    emit_ref[pl.ds(c * CHUNK + sl * _STEPS + i, 1),
+                             :] = jnp.where(in_chunk, tv, -1)
+                    outs.append(jnp.where(in_chunk, nv, cc))
+                return jnp.concatenate(outs, axis=0)
 
             cur_ref[:] = jax.lax.fori_loop(0, _STEPS, step, cur_ref[:])
 
-    for r in range(cap // SUB):
-        out_ref[pl.ds(r * SUB, SUB), :] = emit_ref[pl.ds(r * SUB, SUB), :]
-    ovf = jnp.zeros((1, LANES), jnp.int32)
-    for r in range(cap // SUB, _TILES):
-        rows = emit_ref[pl.ds(r * SUB, SUB), :]
-        ovf = jnp.maximum(ovf, jnp.max((rows >= 0).astype(jnp.int32),
-                                       axis=0, keepdims=True))
-    ovf_ref[0] = ovf
+    ovf_rows = []
+    for c in range(n_c):
+        for r in range(cap // SUB):
+            out_ref[pl.ds(c * cap + r * SUB, SUB), :] = emit_ref[
+                pl.ds(c * CHUNK + r * SUB, SUB), :]
+        ovf = jnp.zeros((1, LANES), jnp.int32)
+        for r in range(cap // SUB, _TILES):
+            rows = emit_ref[pl.ds(c * CHUNK + r * SUB, SUB), :]
+            ovf = jnp.maximum(ovf,
+                              jnp.max((rows >= 0).astype(jnp.int32),
+                                      axis=0, keepdims=True))
+        ovf_rows.append(ovf)
+    ovf_ref[0] = jnp.concatenate(ovf_rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -208,29 +227,33 @@ def parse_walk_emit(jump: jnp.ndarray, tok: jnp.ndarray,
     assert lanes == LANES and p_total % CHUNK == 0
     assert cap % SUB == 0 and 0 < cap <= CHUNK
     n_chunks = p_total // CHUNK
-    spec = pl.BlockSpec((CHUNK, LANES), lambda j: (j, 0),
+    n_c = int(os.environ.get("LIBFLATE_WALK_CHUNKS", "2"))
+    while n_chunks % n_c:
+        n_c //= 2
+    spec = pl.BlockSpec((n_c * CHUNK, LANES), lambda j: (j, 0),
                         memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((cap, LANES), lambda j: (j, 0),
+    spec_out = pl.BlockSpec((n_c * cap, LANES), lambda j: (j, 0),
                             memory_space=pltpu.VMEM)
-    # entries ride a (1, LANES) trailing block: Mosaic requires the last
-    # two block dims divisible by (8, 128) OR equal to the array's — a
-    # leading grid axis over chunks keeps the (1, LANES) rows legal.
-    spec_ent = pl.BlockSpec((1, 1, LANES), lambda j: (j, 0, 0),
+    # entries ride a (1, n_c, LANES) trailing block: Mosaic requires
+    # the last two block dims divisible by (8, 128) OR equal to the
+    # array's — a leading grid axis keeps the (n_c, LANES) rows legal.
+    spec_ent = pl.BlockSpec((1, n_c, LANES), lambda j: (j, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_ovf = pl.BlockSpec((1, 1, LANES), lambda j: (j, 0, 0),
+    spec_ovf = pl.BlockSpec((1, n_c, LANES), lambda j: (j, 0, 0),
                             memory_space=pltpu.VMEM)
     out, ovf = pl.pallas_call(
-        functools.partial(_walk_kernel, cap),
-        grid=(n_chunks,),
+        functools.partial(_walk_kernel, cap, n_c),
+        grid=(n_chunks // n_c,),
         in_specs=[spec, spec, spec_ent],
         out_specs=[spec_out, spec_ovf],
         out_shape=[jax.ShapeDtypeStruct((n_chunks * cap, LANES),
                                         jnp.int32),
-                   jax.ShapeDtypeStruct((n_chunks, 1, LANES), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
-                        pltpu.VMEM((CHUNK, LANES), jnp.int32)],
+                   jax.ShapeDtypeStruct((n_chunks // n_c, n_c, LANES),
+                                        jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_c, LANES), jnp.int32),
+                        pltpu.VMEM((n_c * CHUNK, LANES), jnp.int32)],
         interpret=_interp(),
-    )(jump, tok, entries.reshape(-1, 1, LANES))
+    )(jump, tok, entries.reshape(-1, n_c, LANES))
     return out, ovf.reshape(n_chunks, LANES)
 
 

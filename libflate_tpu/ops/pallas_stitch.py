@@ -45,11 +45,17 @@ def _interp() -> bool:
 
 
 def _stitch_kernel(n_ch: int, segs: int, rows_alloc: int,
-                   cols_ref, w0_ref, out_ref):
+                   cols_refs, w0_ref, out_refs):
+    # M members stitch in lockstep per grid program: within a member
+    # consecutive chunks' RMW rows overlap (serial chain), but the M
+    # members' chains are independent and interleave (the resolve
+    # kernel's member-ILP lesson)
+    M = len(cols_refs)
     zero = jnp.zeros((SUB, LANES), jnp.int32)
 
     def zbody(q, _):
-        out_ref[pl.ds(q * SUB, SUB), :] = zero
+        for m in range(M):
+            out_refs[m][pl.ds(q * SUB, SUB), :] = zero
         return 0
 
     jax.lax.fori_loop(0, rows_alloc // SUB, zbody, 0)
@@ -59,18 +65,21 @@ def _stitch_kernel(n_ch: int, segs: int, rows_alloc: int,
     b = pl.program_id(0)
 
     def body(j, _):
-        off = w0_ref[b, j]
-        row = off >> 7                    # 128 words per output row
-        lane0 = off & (LANES - 1)
-        hi = lane_i >= lane0              # unwrapped lanes -> row + s
-        for s in range(segs):
-            v = cols_ref[pl.ds(j, 1), pl.ds(s * LANES, LANES)]
-            rolled = pltpu.roll(v, lane0, axis=1)
-            r0 = row + s
-            cur = out_ref[pl.ds(r0, 1), :]
-            out_ref[pl.ds(r0, 1), :] = cur | jnp.where(hi, rolled, 0)
-            cur1 = out_ref[pl.ds(r0 + 1, 1), :]
-            out_ref[pl.ds(r0 + 1, 1), :] = cur1 | jnp.where(hi, 0, rolled)
+        for m in range(M):
+            off = w0_ref[b * M + m, j]
+            row = off >> 7                # 128 words per output row
+            lane0 = off & (LANES - 1)
+            hi = lane_i >= lane0          # unwrapped lanes -> row + s
+            for s in range(segs):
+                v = cols_refs[m][pl.ds(j, 1), pl.ds(s * LANES, LANES)]
+                rolled = pltpu.roll(v, lane0, axis=1)
+                r0 = row + s
+                cur = out_refs[m][pl.ds(r0, 1), :]
+                out_refs[m][pl.ds(r0, 1), :] = (
+                    cur | jnp.where(hi, rolled, 0))
+                cur1 = out_refs[m][pl.ds(r0 + 1, 1), :]
+                out_refs[m][pl.ds(r0 + 1, 1), :] = (
+                    cur1 | jnp.where(hi, 0, rolled))
         return 0
 
     jax.lax.fori_loop(0, n_ch, body, 0)
@@ -102,21 +111,27 @@ def stitch_cols_pallas(cols: jnp.ndarray, word0: jnp.ndarray,
     c = jnp.pad(cols.astype(jnp.int32), ((0, 0), (0, 0), (0, pad)))
     rows_alloc = w_out // LANES + SLACK_ROWS
 
-    spec_c = pl.BlockSpec((1, n_ch, segs * LANES), lambda i: (i, 0, 0),
+    M = int(os.environ.get("LIBFLATE_STITCH_MEMBERS", "8"))
+    while bsz % M:
+        M //= 2
+
+    spec_c = pl.BlockSpec((M, n_ch, segs * LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     # SMEM blocks must equal the full array shape (Mosaic constraint);
     # the kernel indexes rows by program_id
     spec_w = pl.BlockSpec((bsz, n_ch), lambda i: (0, 0),
                           memory_space=pltpu.SMEM)
-    spec_o = pl.BlockSpec((1, rows_alloc, LANES), lambda i: (i, 0, 0),
+    spec_o = pl.BlockSpec((M, rows_alloc, LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
     def kernel(c_r, w0_r, o_r):
-        _stitch_kernel(n_ch, segs, rows_alloc, c_r.at[0], w0_r, o_r.at[0])
+        _stitch_kernel(n_ch, segs, rows_alloc,
+                       [c_r.at[m] for m in range(M)], w0_r,
+                       [o_r.at[m] for m in range(M)])
 
     out = pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(bsz // M,),
         in_specs=[spec_c, spec_w],
         out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((bsz, rows_alloc, LANES),
