@@ -279,7 +279,8 @@ def main() -> None:
                 from libflate_tpu.serial.deflate import EncodeOptions
                 best_stream = pgzf.compress(
                     data, member_size=member_size, engine="tpu",
-                    options=EncodeOptions(matcher="chain", max_chain=8))
+                    options=EncodeOptions(matcher="chain", max_chain=8,
+                                          lcp_rounds=8))
                 if pgzf.decompress(best_stream,
                                    engine="native") != data:
                     raise AssertionError("chain round-trip mismatch")

@@ -34,10 +34,25 @@ import numpy as np
 
 
 def main():
+    import hashlib
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    # CPU-feature-keyed cache dir (NOT the TPU .jax_cache): AOT CPU
+    # executables from another physical host SIGILL on load — see
+    # tests/conftest.py
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/root/repo/.jax_cache_cpu-"
+        + hashlib.sha256(flags.encode()).hexdigest()[:8])
     import bench
     from libflate_tpu.parallel.mesh import make_mesh
     from libflate_tpu.parallel.sharding import (decode_sync_sharded,

@@ -28,7 +28,26 @@ import pathlib
 # twice in full-suite runs at different tests, never in isolation and
 # never on cached compiles).  With the cache populated, reruns read
 # compiled programs from disk — stable and much faster.
-_CPU_CACHE = pathlib.Path(__file__).parent.parent / ".jax_cache_cpu"
+#
+# The cache dir is keyed by the host's CPU feature flags: the container
+# migrates between physical hosts across rounds, and loading an AOT
+# executable compiled for a DIFFERENT feature set SIGILLs inside
+# compilation_cache.get_executable_and_time (round-5 diagnosis of the
+# "suite segfault flake" — cpu_aot_loader logs the feature mismatch
+# right before the crash).
+import hashlib
+
+_flags = ""
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _flags = _line
+                break
+except OSError:
+    pass
+_CPU_CACHE = (pathlib.Path(__file__).parent.parent
+              / f".jax_cache_cpu-{hashlib.sha256(_flags.encode()).hexdigest()[:8]}")
 jax.config.update("jax_compilation_cache_dir", str(_CPU_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import random
