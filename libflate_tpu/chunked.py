@@ -31,6 +31,18 @@ class ChunkedDeflateDecoder:
     States mirror the reference's DecoderState enum
     (src/non_blocking/deflate/decode.rs:161-168):
     ``block_header → [stored_len → stored | table_load → symbols] → …``
+
+    Example — feed arbitrary slices, byte-at-a-time included:
+
+        >>> import zlib
+        >>> body = zlib.compress(b"hello " * 500)[2:-4]   # raw DEFLATE
+        >>> d = ChunkedDeflateDecoder()
+        >>> out = bytearray()
+        >>> for i in range(len(body)):                    # 1-byte feeds
+        ...     out += d.feed(body[i:i + 1])
+        >>> d.finish()                      # raises if incomplete
+        >>> bytes(out) == b"hello " * 500
+        True
     """
 
     def __init__(self) -> None:
@@ -198,6 +210,16 @@ class ChunkedGzipDecoder:
 
     Parity: non_blocking::gzip::Decoder (lazy header on first read,
     transactional trailer) + MultiDecoder member looping.
+
+    Example — a socket-style consumer over a multi-member stream:
+
+        >>> import gzip as stdgz
+        >>> stream = stdgz.compress(b"abc" * 100) + stdgz.compress(b"xyz")
+        >>> d = ChunkedGzipDecoder(multi=True)
+        >>> parts = [d.feed(stream[i:i + 7]) for i in range(0, len(stream), 7)]
+        >>> d.finish()                      # raises if incomplete
+        >>> b"".join(parts) == b"abc" * 100 + b"xyz"
+        True
     """
 
     def __init__(self, multi: bool = False, verify: bool = True) -> None:
@@ -284,7 +306,18 @@ class ChunkedGzipDecoder:
 
 
 class ChunkedZlibDecoder:
-    """Push-style zlib decoder (transactional header/trailer)."""
+    """Push-style zlib decoder (transactional header/trailer).
+
+    Example:
+
+        >>> import zlib
+        >>> z = zlib.compress(b"stream me", 9)
+        >>> d = ChunkedZlibDecoder()
+        >>> out = d.feed(z[:5]) + d.feed(z[5:])
+        >>> d.finish()                      # raises if incomplete
+        >>> out
+        b'stream me'
+    """
 
     def __init__(self, verify: bool = True) -> None:
         self._pending = bytearray()

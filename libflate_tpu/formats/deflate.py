@@ -18,12 +18,23 @@ __all__ = ["DeflateError", "EncodeOptions", "InflateResult",
 
 def compress(data: bytes, options: EncodeOptions | None = None,
              engine: str | None = None) -> bytes:
-    """One-shot raw DEFLATE compression."""
+    """One-shot raw DEFLATE compression.
+
+        >>> import zlib
+        >>> zlib.decompress(compress(b"raw deflate"), wbits=-15)
+        b'raw deflate'
+    """
     return bytes(_backend.get(engine).deflate(data, options))
 
 
 def decompress(data: bytes, engine: str | None = None) -> bytes:
-    """One-shot raw DEFLATE decompression."""
+    """One-shot raw DEFLATE decompression.
+
+        >>> import zlib
+        >>> co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        >>> decompress(co.compress(b"foreign") + co.flush())
+        b'foreign'
+    """
     return bytes(_backend.get(engine).inflate(data).data)
 
 

@@ -299,6 +299,12 @@ def compress(data: bytes, options=None, header: Header | None = None,
 
     ``options`` may be a gzip-level :class:`EncodeOptions` (level +
     XFL mapping) or a raw DEFLATE EncodeOptions.
+
+        >>> import gzip as stdgz
+        >>> stdgz.decompress(compress(b"interoperable")) 
+        b'interoperable'
+        >>> decompress(stdgz.compress(b"either way"))
+        b'either way'
     """
     eng = _backend.get(engine)
     if isinstance(options, EncodeOptions):

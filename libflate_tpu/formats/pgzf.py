@@ -157,6 +157,17 @@ def compress(data: bytes, member_size: int = DEFAULT_MEMBER_SIZE,
 
     Engines: "tpu" (device block-parallel), "native" (threaded C++),
     None/"auto" (native if available, else device, else serial).
+
+    Example (any stock gzip tool can read the result, and decode
+    parallelizes over members):
+
+        >>> data = b"to be or not to be, " * 4096
+        >>> stream = compress(data, member_size=16 * 1024)
+        >>> decompress(stream) == data
+        True
+        >>> import gzip as stdgz                  # stock-tool check
+        >>> stdgz.decompress(stream) == data
+        True
     """
     data = bytes(data)
     # default: lazy + hash-chain matching at depth 128 (zlib-6-class;
@@ -442,7 +453,14 @@ def decompress(data: bytes, engine: str | None = None,
                verify: bool = True, n_threads: int = 0) -> bytes:
     """Decompress a gzip stream; uses a member-parallel path (threaded
     native or device batch) when the LF index is present, else falls
-    back to sequential MultiDecoder."""
+    back to sequential MultiDecoder.
+
+    Works on FOREIGN streams too (no index, any producer):
+
+        >>> import gzip as stdgz
+        >>> decompress(stdgz.compress(b"banana" * 999)) == b"banana" * 999
+        True
+    """
     data = bytes(data)
     if engine in ("native", None, "auto"):
         # fully-native fast path: the C walk indexes the LF subfields and
@@ -733,6 +751,13 @@ def _decompress_sync_device(data: bytes, refs: list[MemberRef],
 
 def decompress_to_device(data: bytes, verify: bool = False):
     """Decode a sync-indexed PGZF stream INTO device memory.
+
+    Example (the decompress-into-training-batch shape; needs an
+    accelerator backend, or interpret mode on CPU)::
+
+        stream = pgzf.compress(corpus, member_size=64 * 1024)
+        plain, lens = pgzf.decompress_to_device(stream)   # no D2H
+        batch = plain[:, :crop]            # feed the data pipeline
 
     The decompress-into-training-batch shape: members decode via the
     sync kernel, tokens are reordered per member with one device

@@ -135,6 +135,14 @@ def decompress_stream(data: bytes, pos: int = 0, engine: str | None = None,
 
 
 def decompress(data: bytes, engine: str | None = None) -> bytes:
+    """One-shot zlib decompression (Adler-verified).
+
+        >>> import zlib as stdz
+        >>> decompress(stdz.compress(b"zlib framing"))
+        b'zlib framing'
+        >>> stdz.decompress(compress(b"round trip"))
+        b'round trip'
+    """
     return decompress_stream(data, 0, engine).data
 
 

@@ -10,6 +10,19 @@ payloads of 4 bytes per shard).
 
 This is the TPU-native replacement for what a CPU library would do with
 threads — the reference has no parallel path at all (SURVEY.md §2.3).
+
+Example (8 virtual devices work too — set
+``XLA_FLAGS=--xla_force_host_platform_device_count=8``)::
+
+    from libflate_tpu.parallel.mesh import make_mesh
+    from libflate_tpu.parallel.sharding import (encode_sync_sharded,
+                                                shard_crc32)
+
+    mesh = make_mesh(8)                    # 1-D "blocks" axis
+    blocks = corpus.reshape(64, 65536)     # 64 members, 8 per device
+    words, bits, counts, offsets = encode_sync_sharded(
+        blocks, n_valid, bfinal, k=256, mesh=mesh)
+    whole = combine_shard_crcs(per_shard_crcs, shard_lengths)
 """
 from __future__ import annotations
 
