@@ -51,6 +51,24 @@ cd.finish()
 assert bytes(out) == data
 print("chunked decode ok:", len(out), "bytes")
 
+# --- foreign streams (any producer) -----------------------------------------
+import gzip as stdgz
+
+foreign = b"".join(stdgz.compress(data[i:i + 8192], 6)
+                   for i in range(0, 32768, 8192))
+assert pgzf.decompress(foreign) == data[:32768]
+print("foreign multi-member stream decoded")
+# On an accelerator backend the same stream lands DEVICE-resident:
+#   plain, lens = pgzf.decompress_to_device(foreign)
+
+# --- device encode quality knobs (TPU backends) -----------------------------
+# default: sort matcher, exact-16 lengths, no LCP pass (ratio ~0.316)
+#   pgzf.compress(data, engine="tpu")
+# best ratio: hash-chain depth 8 + full LCP extension (~0.306):
+#   pgzf.compress(data, engine="tpu",
+#                 options=EncodeOptions(matcher="chain", max_chain=8,
+#                                       lcp_rounds=8))
+
 # --- completion protocol ----------------------------------------------------
 import io
 
