@@ -415,8 +415,11 @@ def _kernel_side_decode(stream: bytes, nbytes: int):
             o = pgzf._run_sync_chain(prep)[3]
         return o
 
-    t1, t9 = timed(chain, 1), timed(chain, 9)
-    per_call = max((t9 - t1) / 8, 1e-6)
+    # relay latency swings ~±1 ms between estimates: best of 3 slopes
+    per_call = float("inf")
+    for _ in range(3):
+        t1, t9 = timed(chain, 1), timed(chain, 9)
+        per_call = min(per_call, max((t9 - t1) / 8, 1e-6))
 
     def sync_only():
         for prep in groups:
@@ -506,8 +509,11 @@ def _kernel_side_encode(data: bytes):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1, t9 = timed(1), timed(9)
-    per_call = max((t9 - t1) / 8, 1e-6)
+    # relay latency swings ~±1 ms between estimates: best of 3 slopes
+    per_call = float("inf")
+    for _ in range(3):
+        t1, t9 = timed(1), timed(9)
+        per_call = min(per_call, max((t9 - t1) / 8, 1e-6))
     return {
         "device_encode_kernel_gbps": round(n / 1e9 / per_call, 4),
         "device_encode_kernel_ms": round(per_call * 1000, 1),

@@ -469,12 +469,14 @@ def _resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
 
 
 def unpack_bytes(packed: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(B, N//512, 128) sublane-packed words -> (B, n) int32 bytes
-    (transpose+reshape only; fuses into surrounding XLA)."""
+    """(B, N//512, 128) sublane-packed words -> (B, n) uint8 bytes
+    (shift/mask into uint8 planes + reshape; the uint8 intermediate
+    keeps the relayout's HBM traffic at 1 byte per output byte)."""
     bsz = packed.shape[0]
     w = packed.reshape(bsz, -1, 2, 1, LANES)
     planes = jnp.concatenate(
-        [(w >> (8 * k)) & 255 for k in range(4)], axis=3)
+        [((w >> (8 * k)) & 255).astype(jnp.uint8) for k in range(4)],
+        axis=3)
     return planes.reshape(bsz, -1)[:, :n]
 
 
