@@ -59,94 +59,92 @@ def _rank_one(v, cex_at, lo_at, st_ref, pk_ref, emit, nout, out_cap):
     "src").  ``cex_at(i)`` / ``lo_at(v)`` read the member's SMEM rows;
     callers interleave several of these per loop iteration — the fine
     search is a mostly-dependent shuffle chain, so independent vregs
-    overlap it (the bitonic phase-A lesson).  Shared by _rank_kernel
-    and the fused rank+resolve kernel (ops/pallas_expand)."""
+    overlap it (the bitonic phase-A lesson)."""
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
     zeros = jnp.zeros((SUB, LANES), jnp.int32)
-    if True:
-        lo = lo_at(v)
-        w0 = st_ref[pl.ds(lo, SUB), :]
-        w1 = st_ref[pl.ds(lo + SUB, SUB), :]
-        p0 = pk_ref[pl.ds(lo, SUB), :]
-        p1 = pk_ref[pl.ds(lo + SUB, SUB), :]
+    lo = lo_at(v)
+    w0 = st_ref[pl.ds(lo, SUB), :]
+    w1 = st_ref[pl.ds(lo + SUB, SUB), :]
+    p0 = pk_ref[pl.ds(lo, SUB), :]
+    p1 = pk_ref[pl.ds(lo + SUB, SUB), :]
 
-        cexv = zeros
-        for j in range(SUB):
-            cexv = jnp.where(iota_s == j, cex_at(v * SUB + j),
-                             cexv)
-        offs = cexv - lo * LANES              # row-constant, >= 1
+    cexv = zeros
+    for j in range(SUB):
+        cexv = jnp.where(iota_s == j, cex_at(v * SUB + j),
+                         cexv)
+    offs = cexv - lo * LANES              # row-constant, >= 1
 
-        # S[j, k] = starts[cex_j + k]: two-step (sublane, lane) gather
-        flat = offs + iota_l                  # [1, 2048)
-        ra = offs >> 7                        # row-constant
-        rowa = _sel16(w0, w1, ra)
-        rowb = _sel16(w0, w1, ra + 1)
-        lane = flat & (LANES - 1)
-        s_win = jnp.where((flat >> 7) == ra,
-                          jnp.take_along_axis(rowa, lane, axis=1),
-                          jnp.take_along_axis(rowb, lane, axis=1))
+    # S[j, k] = starts[cex_j + k]: two-step (sublane, lane) gather
+    flat = offs + iota_l                  # [1, 2048)
+    ra = offs >> 7                        # row-constant
+    rowa = _sel16(w0, w1, ra)
+    rowb = _sel16(w0, w1, ra + 1)
+    lane = flat & (LANES - 1)
+    s_win = jnp.where((flat >> 7) == ra,
+                      jnp.take_along_axis(rowa, lane, axis=1),
+                      jnp.take_along_axis(rowb, lane, axis=1))
 
-        # fine = #{k: S[j, k] <= p} — coarse counting + binary tail.
-        # 8 INDEPENDENT static-index probes count complete 16-blocks
-        # <= p; a 4-probe binary search resolves within the block
-        # (dependent chain of 4, hidden by the cross-vreg interleave).
-        # The round-3 shape was 8 + 15 independent probes — the binary
-        # tail trades 11 probes for 4 chain links.
-        p = v * 1024 + iota_s * LANES + iota_l
-        fh = zeros
-        for m in range(SUB):
-            sval = jnp.take_along_axis(
-                s_win, jnp.full((SUB, LANES), 16 * m + 15, jnp.int32),
-                axis=1)
-            fh = fh + (sval <= p).astype(jnp.int32)
-        base16 = fh << 4
-        off = zeros
-        for step in (8, 4, 2, 1):
-            idx = jnp.minimum(base16 + off + step - 1, LANES - 1)
-            sval = jnp.take_along_axis(s_win, idx, axis=1)
-            off = off + jnp.where(sval <= p, step, 0)
-        fine = jnp.where(fh == SUB, LANES, base16 + off)
+    # fine = #{k: S[j, k] <= p} — coarse counting + binary tail.
+    # 8 INDEPENDENT static-index probes count complete 16-blocks
+    # <= p; a 4-probe binary search resolves within the block
+    # (dependent chain of 4, hidden by the cross-vreg interleave).
+    # The round-3 shape was 8 + 15 independent probes — the binary
+    # tail trades 11 probes for 4 chain links.
+    p = v * 1024 + iota_s * LANES + iota_l
+    fh = zeros
+    for m in range(SUB):
+        sval = jnp.take_along_axis(
+            s_win, jnp.full((SUB, LANES), 16 * m + 15, jnp.int32),
+            axis=1)
+        fh = fh + (sval <= p).astype(jnp.int32)
+    base16 = fh << 4
+    off = zeros
+    for step in (8, 4, 2, 1):
+        idx = jnp.minimum(base16 + off + step - 1, LANES - 1)
+        sval = jnp.take_along_axis(s_win, idx, axis=1)
+        off = off + jnp.where(sval <= p, step, 0)
+    fine = jnp.where(fh == SUB, LANES, base16 + off)
 
-        li = offs - 1 + fine                  # window-local token id
-        # per-row the ids span <= 129 -> two window rows; the lower one
-        # is row-constant (ids are monotone along the row: lane 0 min)
-        lmin = jnp.take_along_axis(li, zeros, axis=1)
-        qa = lmin >> 7
-        sh = li & (LANES - 1)
-        in_a = (li >> 7) == qa
-        sa = _sel16(w0, w1, qa)
-        sb = _sel16(w0, w1, qa + 1)
-        pa = _sel16(p0, p1, qa)
-        pb = _sel16(p0, p1, qa + 1)
-        o_s = jnp.where(in_a, jnp.take_along_axis(sa, sh, axis=1),
-                        jnp.take_along_axis(sb, sh, axis=1))
-        o_p = jnp.where(in_a, jnp.take_along_axis(pa, sh, axis=1),
-                        jnp.take_along_axis(pb, sh, axis=1))
-        if emit == "fields":
-            return o_s, o_p
+    li = offs - 1 + fine                  # window-local token id
+    # per-row the ids span <= 129 -> two window rows; the lower one
+    # is row-constant (ids are monotone along the row: lane 0 min)
+    lmin = jnp.take_along_axis(li, zeros, axis=1)
+    qa = lmin >> 7
+    sh = li & (LANES - 1)
+    in_a = (li >> 7) == qa
+    sa = _sel16(w0, w1, qa)
+    sb = _sel16(w0, w1, qa + 1)
+    pa = _sel16(p0, p1, qa)
+    pb = _sel16(p0, p1, qa + 1)
+    o_s = jnp.where(in_a, jnp.take_along_axis(sa, sh, axis=1),
+                    jnp.take_along_axis(sb, sh, axis=1))
+    o_p = jnp.where(in_a, jnp.take_along_axis(pa, sh, axis=1),
+                    jnp.take_along_axis(pb, sh, axis=1))
+    if emit == "fields":
+        return o_s, o_p
 
-        # emit == "src": fold the mod-collapse (ops/device_expand's
-        # XLA tail) into the kernel — src/lit land directly, no extra
-        # 8M-element XLA pass between rank and resolve.
-        d = (o_p >> 9) & 0xFFFF
-        av = o_p & 511
-        is_lit = d == 0
-        rel = p - o_s                 # [0, 257] on live positions
-        dm = jnp.maximum(d, 1)
-        # rel % dm via f32 reciprocal + two +-1 fixups (exact: rel and
-        # dm are small, the quotient is off by at most one ULP-round)
-        q = (rel.astype(jnp.float32) / dm.astype(jnp.float32)
-             ).astype(jnp.int32)
-        r = rel - q * dm
-        r = r + jnp.where(r < 0, dm, 0)
-        r = r - jnp.where(r >= dm, dm, 0)
-        src = jnp.where(is_lit, p, r + o_s - d)
-        lit = jnp.where(is_lit, av & 255, 0)
-        live = p < nout
-        src = jnp.where(live, jnp.clip(src, 0, out_cap - 1), p)
-        lit = jnp.where(live, lit, 0)
-        return src, lit
+    # emit == "src": fold the mod-collapse (ops/device_expand's
+    # XLA tail) into the kernel — src/lit land directly, no extra
+    # 8M-element XLA pass between rank and resolve.
+    d = (o_p >> 9) & 0xFFFF
+    av = o_p & 511
+    is_lit = d == 0
+    rel = p - o_s                 # [0, 257] on live positions
+    dm = jnp.maximum(d, 1)
+    # rel % dm via f32 reciprocal + two +-1 fixups (exact: rel and
+    # dm are small, the quotient is off by at most one ULP-round)
+    q = (rel.astype(jnp.float32) / dm.astype(jnp.float32)
+         ).astype(jnp.int32)
+    r = rel - q * dm
+    r = r + jnp.where(r < 0, dm, 0)
+    r = r - jnp.where(r >= dm, dm, 0)
+    src = jnp.where(is_lit, p, r + o_s - d)
+    lit = jnp.where(is_lit, av & 255, 0)
+    live = p < nout
+    src = jnp.where(live, jnp.clip(src, 0, out_cap - 1), p)
+    lit = jnp.where(live, lit, 0)
+    return src, lit
 
 
 def _rank_kernel(cex_ref, lo_ref, st_ref, pk_ref, os_ref, op_ref, *,
