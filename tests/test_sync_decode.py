@@ -208,14 +208,21 @@ class TestDecompressToDevice:
             pieces.append(out_np[i, :int(ln)].tobytes())
         assert b"".join(pieces) == data
 
-    def test_rejects_non_indexed_stream(self, sync_interpret):
+    def test_non_indexed_stream_takes_foreign_bridge(self,
+                                                     sync_interpret):
+        # round 5: streams without the LS sync index no longer reject —
+        # they fall through to the foreign C-token bridge
+        # (pgzf._foreign_to_device) and still land device-resident
         native = pytest.importorskip("libflate_tpu.native")
         if not native.available():
             pytest.skip("native engine unavailable")
         data = _corpus(80000)
         stream = pgzf.compress(data, member_size=32768, engine="native")
-        with pytest.raises(ImportError):
-            pgzf.decompress_to_device(stream)
+        out, lengths = pgzf.decompress_to_device(stream, verify=True)
+        out_np = np.asarray(out)
+        pieces = [out_np[i, :int(ln)].tobytes()
+                  for i, ln in enumerate(np.asarray(lengths))]
+        assert b"".join(pieces) == data
 
 
 @pytest.mark.parametrize("seed", range(4))
