@@ -1081,16 +1081,36 @@ def _prepare_sync_device(data: bytes) -> list[dict]:
 
 def _run_sync_chain(prep: dict):
     """Device-only decode chain: sync kernel -> reorder -> expansion ->
-    CRC.  Everything after _prepare_sync_device; what the bench
-    slope-times as the kernel-side full decode."""
-    from ..ops import pallas_sync_decode as psd
+    CRC, under ONE jit (each separate dispatch pays host-side issue
+    cost on the relay).  Everything after _prepare_sync_device; what
+    the bench slope-times as the kernel-side full decode."""
+    return _sync_chain_jit()(prep["staged"], prep["sb"],
+                             prep["counts"], prep["lit_t"],
+                             prep["dist_t"], prep["n_tokens"],
+                             prep["k_tok"], prep["root_bits"],
+                             prep["p"], prep["bsz"], prep["max_nc"],
+                             prep["member_cap"])
 
-    out = psd.sync_decode(prep["staged"], prep["sb"], prep["counts"],
-                          prep["lit_t"], prep["dist_t"], prep["k_tok"],
-                          root_bits=prep["root_bits"])
-    return _sync_to_plain(out, prep["p"], prep["bsz"], prep["max_nc"],
-                          prep["k_tok"], prep["n_tokens"],
-                          prep["member_cap"])
+
+def _sync_chain_jit():
+    import functools
+
+    import jax
+
+    if not hasattr(_sync_chain_jit, "_fn"):
+        @functools.partial(jax.jit,
+                           static_argnums=(6, 7, 8, 9, 10, 11))
+        def _fn(staged, sb, counts, lit_t, dist_t, n_tokens, k_tok,
+                root_bits, p_, bsz, max_nc, member_cap):
+            from ..ops import pallas_sync_decode as psd
+
+            out = psd.sync_decode(staged, sb, counts, lit_t, dist_t,
+                                  k_tok, root_bits=root_bits)
+            return _sync_to_plain_jit()(out, n_tokens, p_, bsz,
+                                        max_nc, k_tok, member_cap)
+
+        _sync_chain_jit._fn = _fn
+    return _sync_chain_jit._fn
 
 
 def _sync_to_plain(out, p_: int, bsz: int, max_nc: int, k_tok: int,
