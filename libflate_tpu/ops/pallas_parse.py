@@ -227,7 +227,10 @@ def parse_walk_emit(jump: jnp.ndarray, tok: jnp.ndarray,
     assert lanes == LANES and p_total % CHUNK == 0
     assert cap % SUB == 0 and 0 < cap <= CHUNK
     n_chunks = p_total // CHUNK
-    n_c = int(os.environ.get("LIBFLATE_WALK_CHUNKS", "2"))
+    # measured on the v5e: n_c=1 4.90 ms / 8 MiB, 2 -> 5.17, 4 -> 5.27,
+    # 8 -> 5.52 — the union alive gate's wasted steps beat the chunk
+    # ILP here (unlike resolve/stitch), so single-chunk stays default
+    n_c = int(os.environ.get("LIBFLATE_WALK_CHUNKS", "1"))
     while n_chunks % n_c:
         n_c //= 2
     spec = pl.BlockSpec((n_c * CHUNK, LANES), lambda j: (j, 0),
