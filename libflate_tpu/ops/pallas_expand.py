@@ -145,12 +145,16 @@ def _resolve_loop(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                     accs = jax.lax.fori_loop(jnp.maximum(sb - 9, 0),
                                              sb, sweepu, init)
                 else:
-                    # two-tier sweep: the two groups nearest sb are
+                    # two-tier sweep: the NEAR groups nearest sb are
                     # unrolled unconditionally (corpus: ~90% of far
                     # sources lie within ~8 KiB), and only the rare
                     # older tail pays a dynamic loop — usually empty,
-                    # bounded by ONE masked min reduce (no max tree)
-                    near0 = sb - 2
+                    # bounded by ONE masked min reduce (no max tree).
+                    # NEAR=2 measured best (1: tail loop runs often;
+                    # 3: unconditional work grows)
+                    near = (int(far_mode[len("uband-near"):])
+                            if far_mode.startswith("uband-near") else 2)
+                    near0 = sb - near
                     mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
                     for m in range(M):
                         for j in range(4):
@@ -160,8 +164,8 @@ def _resolve_loop(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                     g0 = jnp.min(mn) >> 12
                     accs = jax.lax.fori_loop(
                         g0, jnp.maximum(near0, 0), sweepu, init)
-                    accs = sweepu(sb - 2, accs)
-                    accs = sweepu(sb - 1, accs)
+                    for dk in range(near, 0, -1):
+                        accs = sweepu(sb - dk, accs)
                 for m in range(M):
                     for j in range(4):
                         q = (m * 4 + j) * par
