@@ -155,13 +155,13 @@ def _resolve_loop(cnt_ref, lst_ref, src_refs, lit_refs, out_refs, *,
                     near = (int(far_mode[len("uband-near"):])
                             if far_mode.startswith("uband-near") else 2)
                     near0 = sb - near
-                    mn = jnp.full((SUB, LANES), 2 ** 30, jnp.int32)
-                    for m in range(M):
-                        for j in range(4):
-                            tail = rows4[m][j] < near0 * SUB
-                            mn = jnp.minimum(
-                                mn, jnp.where(tail, ss[m][j], 2 ** 30))
-                    g0 = jnp.min(mn) >> 12
+                    # tail start group, precomputed XLA-side per
+                    # program (group min over the M members) and read
+                    # from SMEM: the in-kernel masked min tree ended in
+                    # a vector->scalar reduce per superblock (the ~25x
+                    # rule) — hoisting it trades that for one fused
+                    # XLA segment-min over the src array
+                    g0 = cnt_ref[0, sb, 0]
                     accs = jax.lax.fori_loop(
                         g0, jnp.maximum(near0, 0), sweepu, init)
                     for dk in range(near, 0, -1):
@@ -439,6 +439,24 @@ def _resolve_packed(src: jnp.ndarray, lit: jnp.ndarray,
     else:
         cnt = jnp.zeros((bsz, n_sub), jnp.int32)
         lst = jnp.zeros((bsz, n_sub, ROWLIST_WORDS), jnp.int32)
+        if far_mode != "uband-static":
+            # per-superblock far-TAIL start group for the two-tier
+            # sweep, group-min'd over the M members of each grid
+            # program.  The cnt SMEM block of program b maps to array
+            # row b (block shape (1, n_sub, 1)), so the group mins
+            # live in rows [0, bsz // M); 2**30 >> 12 when the tail is
+            # empty, which makes the kernel's fori range empty.
+            near = (int(far_mode[len("uband-near"):])
+                    if far_mode.startswith("uband-near") else 2)
+            pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+            tail = (src >> 9) < ((pos >> 12) - near) * SUB
+            g0v = jnp.min(
+                jnp.where(tail, src, 2 ** 30).reshape(bsz, n // SUPER,
+                                                      SUPER),
+                axis=2) >> 12
+            g0g = jnp.min(g0v.reshape(bsz // M, M, n // SUPER), axis=1)
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, g0g.astype(jnp.int32), (0, 0))
 
     spec = pl.BlockSpec((M, rows, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -204,16 +204,26 @@ def _rank_call(starts, pk, valid, n_out, out_cap, ilp, emit):
     big = jnp.int32(out_cap + 2)
     st = jnp.where(valid, starts, big)
 
-    # coarse ranks at every 128-position boundary (fused one-hot sums)
+    # coarse ranks at every 128-position boundary.  The bucket id
+    # factors as hi * 16 + lo, so the T x nb one-hot compare sweep
+    # (the decode chain's largest XLA term, ~1 ms / 8 MiB) becomes
+    # T x (nb/16 + 16) compares whose outer product is contracted on
+    # the MXU: cnt[hi, lo] = sum_t oh_hi[t, hi] * oh_lo[t, lo].
+    # bf16 one-hots are exact (0/1) and counts accumulate in f32
+    # (T <= ~32 Ki << 2^24), so the int32 round-trip is lossless.
     nb = out_cap // 128
-    sbk = jnp.where(valid, starts >> 7, nb)
-    cnt = jnp.zeros((bsz, nb), jnp.int32)
-    tile = min(128, nb)
-    for r0 in range(0, nb, tile):
-        r = jnp.arange(r0, r0 + tile, dtype=jnp.int32)
-        oh = (sbk[:, :, None] == r[None, None, :]).astype(jnp.int32)
-        cnt = jax.lax.dynamic_update_slice(cnt, jnp.sum(oh, axis=1),
-                                           (0, r0))
+    glo = 16
+    nhi = -(-nb // glo)
+    sbk = jnp.where(valid, starts >> 7, nhi * glo)  # sentinel: hi == nhi
+    oh_hi = ((sbk >> 4)[:, :, None]
+             == jnp.arange(nhi, dtype=jnp.int32)[None, None, :]
+             ).astype(jnp.bfloat16)
+    oh_lo = ((sbk & (glo - 1))[:, :, None]
+             == jnp.arange(glo, dtype=jnp.int32)[None, None, :]
+             ).astype(jnp.bfloat16)
+    cnt = jnp.einsum("bth,btl->bhl", oh_hi, oh_lo,
+                     preferred_element_type=jnp.float32)
+    cnt = cnt.reshape(bsz, nhi * glo)[:, :nb].astype(jnp.int32)
     cex = jnp.cumsum(cnt, axis=1) - cnt           # starts before bucket
 
     # token tables padded so every window [lo, lo+16) is in range
