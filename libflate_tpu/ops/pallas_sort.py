@@ -209,6 +209,84 @@ def _sort_kernel(kin_ref, pin_refs, k_ref, p_refs, *, n_vregs: int,
         jax.lax.fori_loop(0, n_vregs // bv, block_pass, 0)
 
 
+def _scan_emit(k_ref, p_refs, k2_ref, m_ref, *, n_vregs: int,
+               window: int, scan_k: int):
+    """Sorted back-scan + unsort-key packing, register-resident.
+
+    Runs after the bitonic network, inside the same kernel: for each
+    sorted slot, score its ``scan_k`` predecessors by exact shared
+    prefix length (key + carried words, 4 bytes each) and emit the
+    packed unsort key ``pos<<16 | ext<<15 | dist-1`` plus the exact
+    length m — the XLA back-scan this replaces cost ~2.5 ms / 8 MiB
+    and forced all sorted payloads through HBM.
+    """
+    n_pay = len(p_refs)            # payload 0 = position, rest = words
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    e_in = iota_s * LANES + iota_l
+    sign = jnp.int32(-2147483648)
+
+    def lead_bytes(x):
+        return jnp.where(
+            x == 0, 4,
+            jnp.where((x & jnp.int32(-16777216)) != 0, 0,
+                      jnp.where(x & 0xFF0000, 1,
+                                jnp.where(x & 0xFF00, 2, 3))))
+
+    def vreg(v, _):
+        pv = jnp.maximum(v - 1, 0)
+        ck = k_ref[pl.ds(v * SUB, SUB), :]
+        cps = [r[pl.ds(v * SUB, SUB), :] for r in p_refs]
+        pk = k_ref[pl.ds(pv * SUB, SUB), :]
+        pps = [r[pl.ds(pv * SUB, SUB), :] for r in p_refs]
+        first = v == 0
+
+        best_score = jnp.full((SUB, LANES), -1, jnp.int32)
+        best_cand = jnp.full((SUB, LANES), -1, jnp.int32)
+        best_l = jnp.zeros((SUB, LANES), jnp.int32)
+        for k in range(1, scan_k + 1):
+            lane = (iota_l - k) & (LANES - 1)
+            in_row = iota_l >= k
+
+            def sh(c, p):
+                cr = jnp.take_along_axis(c, lane, axis=1)
+                pr = jnp.take_along_axis(p, lane, axis=1)
+                down = jnp.concatenate([pr[SUB - 1:SUB],
+                                        cr[:SUB - 1]], axis=0)
+                return jnp.where(in_row, cr, down)
+
+            kk = sh(ck, pk)
+            pp = sh(cps[0], pps[0])
+            # only the position fill matters at the member head: a
+            # huge pp makes dist negative -> candidate rejected
+            pp = jnp.where(first & (e_in < k), jnp.int32(1 << 20), pp)
+            x = ck ^ kk
+            lcp = lead_bytes(x)
+            all_eq = x == 0
+            for i in range(1, n_pay):
+                xi = cps[i] ^ sh(cps[i], pps[i])
+                lcp = jnp.where(all_eq, 4 * i + lead_bytes(xi), lcp)
+                all_eq = all_eq & (xi == 0)
+            dist = cps[0] - pp
+            ok = (dist > 0) & (dist <= window) & (lcp >= 3)
+            score = (lcp << 17) + (window - dist)
+            upd = ok & (score > best_score)
+            best_score = jnp.where(upd, score, best_score)
+            best_cand = jnp.where(upd, pp, best_cand)
+            best_l = jnp.where(upd, lcp, best_l)
+
+        valid = best_cand >= 0
+        ext = valid & (best_l >= 4)
+        dist_b = jnp.where(valid, cps[0] - best_cand - 1, 0x7FFF)
+        packed = ((cps[0] << 16) | (ext.astype(jnp.int32) << 15)
+                  | dist_b)
+        k2_ref[pl.ds(v * SUB, SUB), :] = packed ^ sign
+        m_ref[pl.ds(v * SUB, SUB), :] = best_l
+        return 0
+
+    jax.lax.fori_loop(0, n_vregs, vreg, 0)
+
+
 def _sort_call(key: jnp.ndarray, payloads: tuple, tiebreak: bool):
     bsz, n = key.shape
     assert n >= VREG and (n & (n - 1)) == 0
@@ -237,6 +315,87 @@ def _sort_call(key: jnp.ndarray, payloads: tuple, tiebreak: bool):
       *(p.astype(jnp.int32).reshape(bsz, rows, LANES)
         for p in payloads))
     return tuple(o.reshape(bsz, n) for o in outs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "scan_k", "fuse_unsort"))
+def sort_scan_candidates(key: jnp.ndarray, pos: jnp.ndarray,
+                         *words: jnp.ndarray, window: int,
+                         scan_k: int, fuse_unsort: bool = False):
+    """Fused matcher back-end: bitonic (key, pos, words...) sort with
+    position tie-break, then the sorted back-scan IN the same kernel.
+
+    The content-sorted arrays never leave VMEM (the network runs on
+    scratch buffers); only the two scan products reach HBM, so the
+    back-scan comes FREE relative to the sort alone (A/B on the bench
+    corpus: 19.0 vs 19.5 ms / 8 MiB for sort_multi without the scan —
+    the split pipeline's XLA back-scan cost ~2.5 ms on top and moved
+    every sorted payload through HBM).
+
+    ``fuse_unsort=True`` additionally runs the position re-sort in the
+    same kernel (scan into scratch, unsort scratch -> output blocks).
+    Measured and REJECTED as the default: 34.7 ms vs 19.0 + ~11 for
+    the separate ``sort_pairs`` dispatch under the same load — the
+    third network phase inside one program schedules worse than a
+    standalone kernel, and an in-place variant on the output blocks
+    was far worse still (54.5 ms; read-write aliasing defeats Mosaic's
+    loop pipelining).
+
+    Returns (key2, m) both (B, N) int32, in SORTED order unless
+    ``fuse_unsort`` — ``key2`` is the packed unsort key ``(pos << 16 |
+    ext << 15 | dist-1) ^ 0x80000000`` (all-ones dist with a clear ext
+    flag = no candidate) and ``m`` the exact shared-prefix length with
+    the best predecessor (0 if none).  ``ops.sort_match`` feeds key2/m
+    through the unsort ``sort_pairs`` and decodes cand/m in text
+    order.
+    """
+    assert 1 <= scan_k <= SUB * LANES // 2
+    bsz, n = key.shape
+    assert n >= VREG and (n & (n - 1)) == 0
+    rows = n // LANES
+    n_log = n.bit_length() - 1
+    n_pay = 1 + len(words)
+
+    spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sort_kern = functools.partial(_sort_kernel, n_vregs=n // VREG,
+                                  n_log=n_log, tiebreak=True)
+    scan_kern = functools.partial(_scan_emit, n_vregs=n // VREG,
+                                  window=window, scan_k=scan_k)
+    unsort_kern = functools.partial(_sort_kernel, n_vregs=n // VREG,
+                                    n_log=n_log, tiebreak=False)
+
+    def kfn(*refs):
+        ins = refs[:1 + n_pay]
+        k2_ref, m_ref = refs[1 + n_pay:3 + n_pay]
+        scr = refs[3 + n_pay:]
+        sort_kern(ins[0].at[0], tuple(r.at[0] for r in ins[1:]),
+                  scr[0], tuple(scr[1:]))
+        if fuse_unsort:
+            # scan into dedicated scratch, then unsort scratch -> the
+            # output blocks.  (Running the unsort IN PLACE on the
+            # output blocks measured 35 ms vs 10 standalone — the
+            # read-write aliasing defeats Mosaic's loop pipelining.)
+            sk, sm_ = scr[1 + n_pay], scr[2 + n_pay]
+            scan_kern(scr[0], tuple(scr[1:1 + n_pay]), sk, sm_)
+            unsort_kern(sk, (sm_,), k2_ref.at[0], (m_ref.at[0],))
+        else:
+            scan_kern(scr[0], tuple(scr[1:1 + n_pay]), k2_ref.at[0],
+                      m_ref.at[0])
+
+    shape = jax.ShapeDtypeStruct((bsz, rows, LANES), jnp.int32)
+    k2, m = pl.pallas_call(
+        kfn, grid=(bsz,),
+        in_specs=[spec] * (1 + n_pay),
+        out_specs=[spec] * 2,
+        out_shape=[shape] * 2,
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)] * (
+            (3 if fuse_unsort else 1) + n_pay),
+        interpret=_interp(),
+    )(key.astype(jnp.int32).reshape(bsz, rows, LANES),
+      pos.astype(jnp.int32).reshape(bsz, rows, LANES),
+      *(w.astype(jnp.int32).reshape(bsz, rows, LANES) for w in words))
+    return k2.reshape(bsz, n), m.reshape(bsz, n)
 
 
 @functools.partial(jax.jit, static_argnames=("tiebreak",))

@@ -32,7 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_sort import sort_multi, sort_pairs
+from .pallas_sort import sort_pairs, sort_scan_candidates
 
 #: sorted neighbors examined per position (the effective chain depth)
 SCAN_K = 8
@@ -48,15 +48,6 @@ M_EXACT = 16
 def _w4be(dd: jnp.ndarray, o: int, n: int) -> jnp.ndarray:
     return ((dd[:, o:o + n] << 24) | (dd[:, o + 1:o + n + 1] << 16)
             | (dd[:, o + 2:o + n + 2] << 8) | dd[:, o + 3:o + n + 3])
-
-
-def _lead_bytes(x: jnp.ndarray) -> jnp.ndarray:
-    """Number of leading EQUAL bytes of a big-endian XOR word (0..4)."""
-    return jnp.where(
-        x == 0, 4,
-        jnp.where((x & jnp.int32(-16777216)) != 0, 0,
-                  jnp.where(x & 0xFF0000, 1,
-                            jnp.where(x & 0xFF00, 2, 3))))
 
 
 @functools.partial(jax.jit,
@@ -92,47 +83,19 @@ def sort_candidates(blocks: jnp.ndarray, window: int = 32768,
     pos = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[None, :],
                            (bsz, n_pad))
 
-    ks, ps, *wss = sort_multi(key, pos, *ws, tiebreak=True)
-
-    best_score = jnp.full((bsz, n_pad), -1, jnp.int32)
-    best_cand = jnp.full((bsz, n_pad), -1, jnp.int32)
-    best_l = jnp.zeros((bsz, n_pad), jnp.int32)
-    for k in range(1, scan_k + 1):
-        shift = lambda a, fill: jnp.concatenate(
-            [jnp.full((bsz, k), fill, jnp.int32), a[:, :-k]], axis=1)
-        kk = shift(ks, 0)
-        pp = shift(ps, 1 << 20)
-        x = ks ^ kk
-        lcp = _lead_bytes(x)
-        # exact extension 4 bytes per carried word (BE, so the leading
-        # XOR byte is the first differing byte)
-        all_eq = x == 0
-        for i, w in enumerate(wss):
-            xi = w ^ shift(w, 0)
-            lcp = jnp.where(all_eq, 4 * (i + 1) + _lead_bytes(xi), lcp)
-            all_eq = all_eq & (xi == 0)
-        dist = ps - pp
-        ok = (dist > 0) & (dist <= window) & (lcp >= 3)
-        score = (lcp << 17) + (window - dist)
-        upd = ok & (score > best_score)
-        best_score = jnp.where(upd, score, best_score)
-        best_cand = jnp.where(upd, pp, best_cand)
-        best_l = jnp.where(upd, lcp, best_l)
-
-    # unsort as a (key, payload) sort: pack pos(16) | m4+ flag(1) |
-    # dist-1(15) into the key (half the bitonic key movement) and carry
-    # the exact shared length m as the payload.  The all-ones dist
-    # field with a clear flag is the no-candidate sentinel — it also
-    # swallows the worthless (dist=32768, lcp=3) corner (zlib's TOO_FAR
-    # drops len-3 beyond 4 KiB anyway).
-    valid = best_cand >= 0
-    ext = valid & (best_l >= 4)
-    dist_b = jnp.where(valid, ps - best_cand - 1, 0x7FFF)
-    packed = ((ps.astype(jnp.uint32) << 16)
-              | (ext.astype(jnp.uint32) << 15)
-              | dist_b.astype(jnp.uint32))
-    key2 = (packed ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-    ks2, m_o = sort_pairs(key2, best_l)
+    # fused sort + sorted back-scan: the bitonic network and the
+    # k = 1..scan_k predecessor scoring run in ONE kernel (sorted
+    # payloads stay in VMEM scratch); out come the packed unsort key
+    # pos(16) | m4+ flag(1) | dist-1(15) — half the bitonic key
+    # movement of unsorting (cand, m) pairs — and the exact shared
+    # length m.  The all-ones dist field with a clear flag is the
+    # no-candidate sentinel — it also swallows the worthless
+    # (dist=32768, lcp=3) corner (zlib's TOO_FAR drops len-3 beyond
+    # 4 KiB anyway).  (Fusing the unsort network too was measured and
+    # rejected — see sort_scan_candidates.)
+    key2, m_s = sort_scan_candidates(key, pos, *ws, window=window,
+                                     scan_k=scan_k)
+    ks2, m_o = sort_pairs(key2, m_s)
     u = ks2.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
     pos_o = (u >> 16).astype(jnp.int32)
     dist_o = (u & 0x7FFF).astype(jnp.int32)
